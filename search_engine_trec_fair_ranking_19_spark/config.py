@@ -1,0 +1,42 @@
+"""Engine configuration.
+
+Defaults mirror the reference's `src/main/resources/themis.config` and the
+hard-coded model constants (`OkapiBM25P.java:18-19`, `Config.java:163-172`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # lexical analysis (themis.config:4-5)
+    use_stemmer: bool = True
+    use_stopwords: bool = True
+
+    # BM25+ constants (OkapiBM25P.java:18-19); delta=1 is the "+1" in the score sum
+    bm25_k1: float = 2.0
+    bm25_b: float = 0.75
+
+    # retrieval blending (themis.config:22-23, Retrieval.java:73-99)
+    pagerank_weight: float = 0.0
+
+    # PageRank (themis.config:15-16)
+    pagerank_damping: float = 0.85
+    pagerank_threshold: float = 1e-8
+    pagerank_max_iters: int = 200
+
+    # physical layout: postings are stored as bounded blocks of at most this
+    # many (docid, tf) entries so no single row ever holds a head term's full
+    # posting list (scale analogue of PARTIAL_INDEX_MAX_DOCS, themis.config:8)
+    postings_block_size: int = 4096
+
+    # salting fan-out for the two-phase skewed-term aggregation
+    salt_buckets: int = 16
+
+    def with_(self, **kw) -> "EngineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,10 @@
+import pytest
+
+from search_engine_trec_fair_ranking_19_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="themis-spark-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
