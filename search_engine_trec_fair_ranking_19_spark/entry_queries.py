@@ -1,0 +1,593 @@
+"""Driver-contract query pack: every operator exposed as a (spark, sf_dir) →
+DataFrame callable plus (where SQL-expressible) a DuckDB oracle twin.
+
+The search-engine queries run the REAL engine (index build + retrieval) over
+the driver's `documents` table mapped to the webtext shape, with
+stemmer/stopwords OFF so the analyzer is expressible in ANSI SQL — the DuckDB
+CTE oracles are independent reimplementations of the BM25+/VSM math
+(`OkapiBM25P.java:67-99`, `VSM.java:52-107`), so agreement is a true
+cross-engine check, not a tautology.
+
+Scores are rounded to 6 decimals on BOTH sides (float reassociation across
+engines differs at ~1e-15; ranks are compared exactly via the rounded sort).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import EngineConfig
+from .functions import text_analysis as ta
+from .operators import dedup, multimodal, similarity
+from .operators import query as q
+from .operators.index_build import IndexTables, build_index
+from .operators.pagerank import pagerank_table
+from .operators.query import matched_postings
+
+# analyzer OFF = SQL-expressible tokens (documents.text is lowercase words)
+GATE_CONFIG = EngineConfig(
+    use_stemmer=False, use_stopwords=False, postings_block_size=256
+)
+
+_INDEX_CACHE: dict[str, IndexTables] = {}
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def documents_as_webtext(docs: DataFrame) -> DataFrame:
+    """Map the driver's documents table to the engine's webtext shape.
+
+    url = zero-padded doc_id ⇒ rank(url) == row_number over doc_id, which the
+    SQL oracles replicate as ``row_number() OVER (ORDER BY doc_id)``."""
+    return docs.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("url"),
+        F.col("text"),
+    )
+
+
+def gate_index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    """Build (once per sf_dir per process) the engine index over documents."""
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        index_dir = os.path.join(
+            tempfile.gettempdir(),
+            "themis_gate_index_" + key.strip("/").replace("/", "_"),
+        )
+        docs = documents_as_webtext(load_documents(spark, sf_dir))
+        _INDEX_CACHE[key] = build_index(
+            spark, docs, index_dir, GATE_CONFIG, resume=True
+        )
+    return _INDEX_CACHE[key]
+
+
+def _rounded(df: DataFrame, col: str = "score", k: int | None = None) -> DataFrame:
+    out = df.withColumn(col, F.round(F.col(col), 6))
+    if k is not None:
+        out = out.orderBy(F.desc(col), F.asc("docid")).limit(k)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle building blocks (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_BASE_CTES = """
+docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) AS docid, doc_id, text FROM documents
+),
+tok AS (
+  SELECT docid, unnest(string_split(text, ' ')) AS term FROM docs
+),
+tf AS (
+  SELECT docid, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY docid, term
+),
+dl AS (SELECT docid, sum(tf) AS dl, max(tf) AS max_tf FROM tf GROUP BY docid),
+cs AS (
+  SELECT (SELECT count(*) FROM docs) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT count(*)::DOUBLE FROM docs) AS avgdl
+),
+vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
+def _bm25_sql(terms: list[str], k: int | None) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    limit = (
+        f"ORDER BY score DESC, docid ASC LIMIT {k}" if k is not None else ""
+    )
+    return f"""
+WITH {_BASE_CTES},
+qt AS (SELECT unnest([{term_list}]) AS term, 1.0 AS weight),
+qidf AS (
+  SELECT qt.term, qt.weight,
+         ln((SELECT n FROM cs) / (1.0 + coalesce(v.df, 0))) AS idf
+  FROM qt LEFT JOIN vocab v USING (term)
+),
+matched AS (
+  SELECT tf.docid,
+         sum(q.idf * (tf.tf * q.weight * 3.0 /
+             (tf.tf * q.weight + 2.0 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM cs)))))
+           AS contrib
+  FROM tf JOIN qidf q USING (term) JOIN dl USING (docid)
+  GROUP BY tf.docid
+),
+raw AS (
+  SELECT docid, contrib + (SELECT sum(idf) FROM qidf) AS raw FROM matched
+),
+mx AS (SELECT CASE WHEN max(raw) <= 0 THEN 1.0 ELSE max(raw) END AS m FROM raw)
+SELECT docid, round(raw / (SELECT m FROM mx), 6) AS score FROM raw {limit}
+"""
+
+
+def _vsm_sql(terms: list[str], k: int | None) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    limit = (
+        f"ORDER BY score DESC, docid ASC LIMIT {k}" if k is not None else ""
+    )
+    # index-time norm uses ln(N/DF); query-time idf uses ln(N/(1+DF))
+    return f"""
+WITH {_BASE_CTES},
+vsm_w AS (
+  SELECT tf.docid,
+         sqrt(sum(pow(tf.tf * ln((SELECT n FROM cs) / v.df::DOUBLE), 2)))
+           / max(dl.max_tf) AS vsm_weight
+  FROM tf JOIN vocab v USING (term) JOIN dl USING (docid)
+  GROUP BY tf.docid
+),
+qt AS (SELECT unnest([{term_list}]) AS term, 1.0 AS weight),
+qidf AS (
+  SELECT qt.term, qt.weight,
+         ln((SELECT n FROM cs) / (1.0 + coalesce(v.df, 0))) AS idf
+  FROM qt LEFT JOIN vocab v USING (term)
+),
+qw AS (
+  SELECT term, weight, idf,
+         (weight / (SELECT max(weight) FROM qt)) * idf AS q_weight
+  FROM qidf
+),
+qnorm AS (SELECT sqrt(sum(q_weight * q_weight)) AS qn FROM qw),
+matched AS (
+  SELECT tf.docid,
+         sum(qw.q_weight * ((tf.tf * qw.weight / dl.max_tf) * qw.idf)) AS dot
+  FROM tf JOIN qw USING (term) JOIN dl USING (docid)
+  GROUP BY tf.docid
+),
+raw AS (
+  SELECT m.docid, m.dot / (w.vsm_weight * (SELECT qn FROM qnorm)) AS raw
+  FROM matched m JOIN vsm_w w USING (docid)
+),
+mx AS (SELECT CASE WHEN max(raw) <= 0 THEN 1.0 ELSE max(raw) END AS m FROM raw)
+SELECT docid, round(raw / (SELECT m FROM mx), 6) AS score FROM raw {limit}
+"""
+
+
+# fixed gate queries (terms present in the synthetic vocabulary + one OOV)
+_Q1 = ["spark"]
+_Q2 = ["spark", "shuffle", "partition"]
+_Q3 = ["table", "row", "doesnotexistxyz"]
+_VSM_Q = ["query", "data", "table"]
+_EX_Q = ["window", "batch"]
+
+
+# ---------------------------------------------------------------------------
+# queries() implementations
+# ---------------------------------------------------------------------------
+
+def q_bm25_single(spark, sf_dir):
+    t = gate_index(spark, sf_dir)
+    return _rounded(q.bm25_topk(spark, t, " ".join(_Q1), k=None))
+
+
+def q_bm25_topk(spark, sf_dir):
+    t = gate_index(spark, sf_dir)
+    full = q.bm25_topk(spark, t, " ".join(_Q2), k=None)
+    return _rounded(full, k=50)
+
+
+def q_bm25_oov(spark, sf_dir):
+    t = gate_index(spark, sf_dir)
+    return _rounded(q.bm25_topk(spark, t, " ".join(_Q3), k=None))
+
+
+def q_vsm_topk(spark, sf_dir):
+    t = gate_index(spark, sf_dir)
+    full = q.vsm_topk(spark, t, " ".join(_VSM_Q), k=None)
+    return _rounded(full, k=50)
+
+
+def q_existential(spark, sf_dir):
+    t = gate_index(spark, sf_dir)
+    return q.existential(spark, t, " ".join(_EX_Q)).select("docid", "score")
+
+
+def q_doc_ids(spark, sf_dir):
+    return gate_index(spark, sf_dir).doc_ids(spark)
+
+
+def q_vocabulary(spark, sf_dir):
+    return gate_index(spark, sf_dir).vocabulary(spark)
+
+
+def q_doc_stats(spark, sf_dir):
+    t = gate_index(spark, sf_dir)
+    return t.doc_stats(spark).select(
+        "docid",
+        "token_count",
+        "max_tf",
+        F.round("vsm_weight", 6).alias("vsm_weight"),
+    )
+
+
+def q_collection_stats(spark, sf_dir):
+    t = gate_index(spark, sf_dir)
+    return (
+        t._read(spark, "collection_stats")
+        .select("n_docs", F.round("avgdl", 6).alias("avgdl"))
+    )
+
+
+def q_postings_decoded(spark, sf_dir):
+    """Decode EVERY posting block back to (term, docid, tf) — proves the
+    delta+varint codec round-trips the whole index (vs SQL group-by oracle)."""
+    t = gate_index(spark, sf_dir)
+    vocab_terms = [r["term"] for r in t.vocabulary(spark).select("term").collect()]
+    return matched_postings(spark, t, vocab_terms).select("term", "docid", "tf")
+
+
+def q_term_tf_matrix(spark, sf_dir):
+    t = gate_index(spark, sf_dir)
+    vocab_terms = [r["term"] for r in t.vocabulary(spark).select("term").collect()]
+    return (
+        matched_postings(spark, t, vocab_terms)
+        .groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("dl"),
+            F.max("tf").alias("max_tf"),
+        )
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (rows-only check:
+    the fixpoint loop is not ANSI-SQL-expressible)."""
+    t = gate_index(spark, sf_dir)
+    doc_ids = t.doc_ids(spark)
+    n = doc_ids.count()
+    links = doc_ids.select(
+        "url",
+        F.array(
+            F.format_string(
+                "doc%08d", (F.col("docid") * 7 + 3) % F.lit(n)
+            ),
+            F.format_string(
+                "doc%08d", (F.col("docid") * 13 + 5) % F.lit(n)
+            ),
+        ).alias("out_links"),
+    )
+    pr = pagerank_table(spark, t, links, write=False)
+    return pr.select("docid", F.round("pagerank", 9).alias("pagerank"))
+
+
+# --- text analysis ----------------------------------------------------------
+
+def q_lang_id_counts(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.select(ta.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        ta.token_count_ws(F.col("text")).alias("ws_tokens"),
+        ta.token_count_words(F.col("text")).alias("word_tokens"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(ta.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(ta.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
+        F.round(ta.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_char_histogram(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- dedup -------------------------------------------------------------------
+
+def q_dedup_fingerprint_groups(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.05
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return dedup.minhash_dedup_pairs(
+        docs, n=2, num_hashes=64, num_bands=32, threshold=0.05
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=16)
+
+
+# --- similarity --------------------------------------------------------------
+
+def q_ann_brute_force(spark, sf_dir):
+    emb = load_embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    full = similarity.brute_force_topk(emb, list(qvec), k=10**9)
+    return full.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = load_embeddings(spark, sf_dir)
+    ecol = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(ecol, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load_embeddings(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    return similarity.lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=6).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.synthetic_media(spark, n_rows=48)
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.fake_feature_extractor
+    )
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "bm25_single_term": q_bm25_single,
+    "bm25_topk_multi_term": q_bm25_topk,
+    "bm25_oov_term": q_bm25_oov,
+    "vsm_topk": q_vsm_topk,
+    "existential": q_existential,
+    "doc_ids": q_doc_ids,
+    "vocabulary": q_vocabulary,
+    "doc_stats": q_doc_stats,
+    "collection_stats": q_collection_stats,
+    "postings_roundtrip": q_postings_decoded,
+    "term_tf_matrix": q_term_tf_matrix,
+    "pagerank": q_pagerank,
+    "lang_id_counts": q_lang_id_counts,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "fingerprints": q_fingerprints,
+    "char_histogram": q_char_histogram,
+    "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_lsh_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_cosine_brute_force": q_ann_brute_force,
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_lsh": q_ann_lsh,
+    "multimodal_features": q_multimodal_features,
+}
+
+_EN = ", ".join(f"'{m}'" for m in ta.LANG_MARKERS["en"])
+_DE = ", ".join(f"'{m}'" for m in ta.LANG_MARKERS["de"])
+_FR = ", ".join(f"'{m}'" for m in ta.LANG_MARKERS["fr"])
+
+ORACLE_SQL = {
+    "bm25_single_term": _bm25_sql(_Q1, None),
+    "bm25_topk_multi_term": _bm25_sql(_Q2, 50),
+    "bm25_oov_term": _bm25_sql(_Q3, None),
+    "vsm_topk": _vsm_sql(_VSM_Q, 50),
+    "existential": f"""
+WITH {_BASE_CTES}
+SELECT DISTINCT docid, 1.0 AS score FROM tf
+WHERE term IN ({", ".join(f"'{t}'" for t in _EX_Q)})
+""",
+    "doc_ids": """
+SELECT row_number() OVER (ORDER BY doc_id) AS docid,
+       printf('doc%08d', doc_id) AS url
+FROM documents
+""",
+    "vocabulary": f"WITH {_BASE_CTES} SELECT term, df FROM vocab",
+    "doc_stats": f"""
+WITH {_BASE_CTES},
+vsm_w AS (
+  SELECT tf.docid,
+         sqrt(sum(pow(tf.tf * ln((SELECT n FROM cs) / v.df::DOUBLE), 2)))
+           / max(dl.max_tf) AS vsm_weight
+  FROM tf JOIN vocab v USING (term) JOIN dl USING (docid)
+  GROUP BY tf.docid
+)
+SELECT dl.docid, dl.dl AS token_count, dl.max_tf,
+       round(w.vsm_weight, 6) AS vsm_weight
+FROM dl JOIN vsm_w w USING (docid)
+""",
+    "collection_stats": f"WITH {_BASE_CTES} SELECT n AS n_docs, round(avgdl, 6) AS avgdl FROM cs",
+    "postings_roundtrip": f"WITH {_BASE_CTES} SELECT term, docid, tf FROM tf",
+    "term_tf_matrix": f"""
+WITH {_BASE_CTES}
+SELECT docid, count(*) AS n_terms, sum(tf) AS dl, max(tf) AS max_tf
+FROM tf GROUP BY docid
+""",
+    "lang_id_counts": f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ({_EN}))) / greatest(len(toks), 1)::DOUBLE AS s_en,
+         len(list_filter(toks, t -> t IN ({_DE}))) / greatest(len(toks), 1)::DOUBLE AS s_de,
+         len(list_filter(toks, t -> t IN ({_FR}))) / greatest(len(toks), 1)::DOUBLE AS s_fr
+  FROM tok
+),
+best AS (
+  SELECT doc_id,
+         CASE
+           WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'unk'
+           WHEN s_de >= s_en AND s_de >= s_fr AND NOT (s_en >= s_de) THEN 'de'
+           WHEN s_en >= s_fr THEN 'en'
+           ELSE 'fr'
+         END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, count(*) AS n FROM best GROUP BY lang_pred
+""",
+    "token_counts": r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word_tokens
+FROM documents
+""",
+    "quality_scores": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           / greatest(length(text), 1)::DOUBLE AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, punct, len(toks) AS n_words,
+         list_sum(list_transform(toks, t -> length(t)))
+           / greatest(len(toks), 1)::DOUBLE AS mwl
+  FROM base
+)
+SELECT doc_id,
+       round(punct, 6) AS punct_ratio,
+       round(mwl, 6) AS mean_word_len,
+       round(0.4 * least(1.0, n_words / 100.0)
+           + 0.3 * (1.0 - least(1.0, punct * 4))
+           + 0.3 * greatest(0.0, least(1.0, (mwl - 2.0) / 6.0)), 6) AS quality
+FROM m
+""",
+    "fingerprints": r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    "char_histogram": """
+SELECT ch, count(*) AS n
+FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+WHERE ch <> ''
+GROUP BY ch
+""",
+    "dedup_fingerprint_groups": r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       count(*) AS group_size, min(doc_id) AS canonical_id
+FROM documents GROUP BY fp
+""",
+    "ngram_jaccard_pairs": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents WHERE doc_id < 150
+),
+sh AS (
+  SELECT doc_id, DISTINCT ON (doc_id, shingle) shingle FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       round(shared / (sa.n + sb.n - shared)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE shared / (sa.n + sb.n - shared)::DOUBLE >= 0.05
+""",
+    "ann_cosine_brute_force": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qe)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cosine
+FROM pairs GROUP BY vec_id
+""",
+    "embedding_norms": """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+""",
+    # pagerank / minhash_lsh_pairs / simhash_pairs / ann_cosine_lsh /
+    # multimodal_features: not ANSI-SQL-expressible (iterative fixpoint /
+    # seeded hash families / synthetic media) -> rows-only driver check.
+}

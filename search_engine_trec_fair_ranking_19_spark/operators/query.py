@@ -43,17 +43,25 @@ TOPK_SCHEMA = T.StructType(
 )
 
 _DECODE_SCHEMA = "docids array<long>, tfs array<long>, dls array<long>"
+_decode_udf_cached = None
 
 
-@F.pandas_udf(_DECODE_SCHEMA)
-def _decode_udf(gaps: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
-    out = {"docids": [], "tfs": [], "dls": []}
-    for g, t, d in zip(gaps, tfs, dls):
-        docids, tf_arr, dl_arr = decode_block(bytes(g), bytes(t), bytes(d))
-        out["docids"].append(docids)
-        out["tfs"].append(tf_arr)
-        out["dls"].append(dl_arr)
-    return pd.DataFrame(out)
+def _decode_udf():
+    """Block-decode pandas UDF (built lazily: registration needs a session)."""
+    global _decode_udf_cached
+    if _decode_udf_cached is None:
+
+        def decode(gaps: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
+            out = {"docids": [], "tfs": [], "dls": []}
+            for g, t, d in zip(gaps, tfs, dls):
+                docids, tf_arr, dl_arr = decode_block(bytes(g), bytes(t), bytes(d))
+                out["docids"].append(docids)
+                out["tfs"].append(tf_arr)
+                out["dls"].append(dl_arr)
+            return pd.DataFrame(out)
+
+        _decode_udf_cached = F.pandas_udf(decode, _DECODE_SCHEMA)
+    return _decode_udf_cached
 
 
 @dataclass
@@ -102,7 +110,7 @@ def matched_postings(
     """J2: postings blocks of the query terms, decoded and exploded to
     (term, docid, tf, dl) rows."""
     blocks = tables.postings(spark).filter(F.col("term").isin(terms))
-    dec = blocks.withColumn("dec", _decode_udf("gaps", "tfs", "dls"))
+    dec = blocks.withColumn("dec", _decode_udf()("gaps", "tfs", "dls"))
     return dec.select(
         "term",
         F.explode(

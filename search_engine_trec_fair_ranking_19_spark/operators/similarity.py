@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline: JVM-side dot product via
+    `F.zip_with`/`F.aggregate` (no Python in the scan), TakeOrderedAndProject
+    for the bounded-heap top-k.
+  * random-hyperplane LSH   — the scale path: signed-projection bucket keys
+    from a vectorized pandas UDF, candidate generation by bucket join (with
+    multi-probe via several independent tables), exact cosine re-rank of
+    candidates only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_similarity(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of one query vector against the table.
+
+    The plan is scan → codegen'd expression → TakeOrderedAndProject: one pass,
+    no shuffle, heap-bounded memory per partition at any scale."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    ecol = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        embeddings.select(
+            F.col(id_col),
+            cosine_similarity(ecol, qlit).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+
+def lsh_bucket_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket) — one signed-projection bucket per hash table.
+
+    Vectorized: each Arrow batch is one (batch × dim) @ (dim × planes) matmul."""
+    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].values).astype(np.float32)
+            ids = pdf[id_col].values
+            out_ids, out_tables, out_buckets = [], [], []
+            powers = 1 << np.arange(n_planes, dtype=np.int64)
+            for t, P in enumerate(planes):
+                bits = (mat @ P) > 0
+                buckets = (bits * powers).sum(axis=1)
+                out_ids.append(ids)
+                out_tables.append(np.full(len(ids), t))
+                out_buckets.append(buckets)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "table": np.concatenate(out_tables),
+                    "bucket": np.concatenate(out_buckets),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema="vec_id long, table int, bucket long"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's buckets in every table,
+    union candidates, exact re-rank. Recall grows with n_tables."""
+    dim = len(query_vec)
+    q = np.asarray(query_vec, dtype=np.float32)
+    probe = []
+    powers = 1 << np.arange(n_planes, dtype=np.int64)
+    for t in range(n_tables):
+        bits = (q @ _hyperplanes(dim, n_planes, seed + t)) > 0
+        probe.append((t, int((bits * powers).sum())))
+    sigs = lsh_bucket_signatures(
+        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
+    )
+    probe_df = sigs.sparkSession.createDataFrame(probe, "table int, bucket long")
+    candidates = (
+        sigs.join(F.broadcast(probe_df), ["table", "bucket"])
+        .select("vec_id")
+        .distinct()
+    )
+    cand_vecs = embeddings.join(
+        candidates, embeddings[id_col] == candidates["vec_id"]
+    ).select(embeddings[id_col], F.col(vec_col))
+    return brute_force_topk(cand_vecs, query_vec, k, id_col, vec_col)

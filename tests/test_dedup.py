@@ -1,0 +1,85 @@
+"""Dedup-operator tests: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from search_engine_trec_fair_ranking_19_spark.operators import dedup
+
+
+def _docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "THE  Quick Brown   Fox jumps over the lazy dog again and again"),  # normalized dup of 1
+        (6, "another unrelated document mentioning minhash signatures only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    got = dedup.exact_duplicates(_docs_df(spark)).collect()
+    groups = {}
+    for r in got:
+        groups.setdefault(r["canonical_id"], set()).add(r["doc_id"])
+    assert groups == {1: {1, 2, 5}}
+    assert all(r["group_size"] == 3 for r in got)
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs_df(spark), n=3, threshold=0.5
+    ).collect()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs}
+    # doc1/doc2 identical -> jaccard 1.0; doc1/doc3 differ in one word
+    assert got[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+    # independent python verification of jaccard(1,3)
+    def sh(text, n=3):
+        import re
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    rows = {r[0]: r[1] for r in _docs_df(spark).collect()}
+    s1, s3 = sh(rows[1]), sh(rows[3])
+    assert got[(1, 3)] == pytest.approx(len(s1 & s3) / len(s1 | s3))
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dedup.minhash_dedup_pairs(
+        _docs_df(spark), num_hashes=64, num_bands=16, threshold=0.5
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in got  # identical docs always collide
+    assert (1, 3) in got  # near dup found at 0.5 threshold
+    assert all(p[0] < p[1] for p in got)
+    # verified jaccard values must equal the exact operator's
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(_docs_df(spark), threshold=0.5).collect()
+    }
+    for r in pairs:
+        assert r["jaccard"] == pytest.approx(exact[(r["a"], r["b"])])
+
+
+def test_minhash_signature_determinism(spark):
+    df = _docs_df(spark)
+    s1 = {r["doc_id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(df, num_hashes=32).collect()}
+    s2 = {r["doc_id"]: tuple(r["sig"]) for r in dedup.minhash_signatures(df, num_hashes=32).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]  # identical text -> identical signature
+    # signature similarity approximates jaccard: doc1 vs doc3 share most mins
+    agree = sum(a == b for a, b in zip(s1[1], s1[3]))
+    assert agree >= 16  # true jaccard ~0.67 of 32 hashes
+
+
+def test_simhash_near_dups(spark):
+    pairs = dedup.simhash_near_dup_pairs(_docs_df(spark), max_hamming=10).collect()
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0  # identical docs -> identical simhash
+    assert (1, 3) in got  # one-word change -> small hamming distance
+    assert (1, 4) not in got and (1, 6) not in got

@@ -1,0 +1,115 @@
+"""Query-engine parity: Spark BM25+/VSM/Existential vs the oracle.
+
+The gate from SURVEY.md §5: rank-identical top-k docids and scores within 1e-9
+after max-normalization, on a query set covering head/tail terms, stopword-only
+queries, repeated terms (mergeTerms), unicode delimiters, OOV terms, and the
+PageRank-blended configuration.
+"""
+
+import math
+
+import pytest
+
+from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
+from search_engine_trec_fair_ranking_19_spark.operators import query as q
+from search_engine_trec_fair_ranking_19_spark.operators.index_build import build_index
+from search_engine_trec_fair_ranking_19_spark.operators.pagerank import (
+    pagerank_table,
+)
+from search_engine_trec_fair_ranking_19_spark.oracle import engine as oracle
+from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
+    corpus_pandas,
+    corpus_spark,
+)
+
+N_DOCS = 400
+CFG = EngineConfig(postings_block_size=64)
+
+QUERIES = [
+    "web search engine",                  # common terms
+    "w00001 w00002",                      # head zipf terms
+    "w19998 w19999 web",                  # tail + head mix
+    "the and of",                         # stopword-only -> empty
+    "web web web search",                 # repeated terms (mergeTerms)
+    "computing computers computation",    # stemming collisions
+    "zzzznotfound web",                   # OOV + valid (DF=0 path)
+    "Apple banana ORANGE",                # case + stem-before-lowercase
+    "running—jumped，quickly",            # query delimiters (— and ， split)
+    "nationalization happiness",
+    "w00000",                             # the single heaviest head term
+    "page",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf():
+    return corpus_pandas(N_DOCS, seed=11, with_links=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus_pdf):
+    docs = list(zip(corpus_pdf["url"], corpus_pdf["text"]))
+    links = dict(zip(corpus_pdf["url"], corpus_pdf["out_links"]))
+    return oracle.build_index(docs, CFG, out_links=links)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, corpus_pdf, tmp_path_factory):
+    webtext = corpus_spark(spark, N_DOCS, seed=11, n_partitions=5, with_links=True)
+    index_dir = str(tmp_path_factory.mktemp("qindex"))
+    t = build_index(spark, webtext, index_dir, CFG)
+    pagerank_table(spark, t, webtext.select("url", "out_links"))
+    return t
+
+
+def _assert_matches(got_df, expected, k=None):
+    got = [(r["docid"], r["score"]) for r in got_df.collect()]
+    exp = expected if k is None else expected[:k]
+    assert [d for d, _ in got] == [d for d, _ in exp], (
+        f"rank mismatch: got {got[:12]} want {exp[:12]}"
+    )
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == pytest.approx(es, abs=1e-9), f"score mismatch at doc {gd}"
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bm25_parity(spark, tables, oracle_index, query):
+    exp = oracle.bm25_topk(oracle_index, query, k=20)
+    got = q.bm25_topk(spark, tables, query, k=20)
+    _assert_matches(got, exp)
+
+
+@pytest.mark.parametrize("query", QUERIES[:6])
+def test_vsm_parity(spark, tables, oracle_index, query):
+    exp = oracle.vsm_topk(oracle_index, query, k=20)
+    got = q.vsm_topk(spark, tables, query, k=20)
+    _assert_matches(got, exp)
+
+
+@pytest.mark.parametrize("query", QUERIES[:4])
+def test_existential_parity(spark, tables, oracle_index, query):
+    exp = oracle.existential(oracle_index, query)
+    got = q.existential(spark, tables, query)
+    _assert_matches(got, exp)
+
+
+@pytest.mark.parametrize("query", ["web search engine", "w00000", "page rank"])
+def test_bm25_pagerank_blend_parity(spark, tables, oracle_index, query):
+    exp = oracle.bm25_topk(oracle_index, query, k=20, pagerank_weight=0.25)
+    got = q.bm25_topk(spark, tables, query, k=20, pagerank_weight=0.25)
+    _assert_matches(got, exp)
+
+
+def test_full_ranking_no_limit(spark, tables, oracle_index):
+    exp = oracle.bm25_topk(oracle_index, "web page", k=None)
+    got = q.bm25_topk(spark, tables, "web page", k=None)
+    _assert_matches(got, exp)
+
+
+def test_topk_with_docs_projection(spark, tables, oracle_index):
+    topk = q.bm25_topk(spark, tables, "web search", k=5)
+    rows = q.topk_with_docs(spark, tables, topk).collect()
+    assert len(rows) == 5
+    inv = {d: u for u, d in oracle_index.doc_id_of_url.items()}
+    for r in rows:
+        assert r["url"] == inv[r["docid"]]

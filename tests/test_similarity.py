@@ -1,0 +1,59 @@
+"""ANN similarity-search tests: brute-force exactness + LSH recall."""
+
+import numpy as np
+import pytest
+
+from search_engine_trec_fair_ranking_19_spark.operators import similarity
+
+
+def _emb_df(spark, n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def _numpy_topk(vecs, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    v = vecs.astype(np.float64)
+    cos = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(v)), -cos))
+    return [(int(i), float(cos[i])) for i in order[:k]]
+
+
+def test_brute_force_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    q = vecs[0].tolist()
+    got = [(r["vec_id"], r["cosine"]) for r in similarity.brute_force_topk(df, q, k=10).collect()]
+    exp = _numpy_topk(vecs, q, 10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for (gi, gc), (ei, ec) in zip(got, exp):
+        assert gc == pytest.approx(ec, abs=1e-6)
+    assert got[0][0] == 0 and got[0][1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_recall(spark):
+    df, vecs = _emb_df(spark, n=300)
+    q = (vecs[7] + np.random.default_rng(1).standard_normal(16) * 0.01).tolist()
+    exact = {i for i, _ in _numpy_topk(vecs, q, 10)}
+    got = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(df, q, k=10, n_planes=8, n_tables=8).collect()
+    }
+    # multi-table LSH should recover most of the true top-10 (incl. vec 7)
+    assert 7 in got
+    assert len(exact & got) >= 5
+
+
+def test_lsh_candidates_subset_rerank_exact(spark):
+    # every pair LSH returns must carry the TRUE cosine (re-rank is exact)
+    df, vecs = _emb_df(spark, n=100)
+    q = vecs[3].tolist()
+    rows = similarity.lsh_topk(df, q, k=5, n_planes=6, n_tables=4).collect()
+    for r in rows:
+        true_cos = _numpy_topk(vecs, q, 100)
+        lookup = dict(true_cos)
+        assert r["cosine"] == pytest.approx(lookup[r["vec_id"]], abs=1e-6)
