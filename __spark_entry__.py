@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25+ top-k over sf0.001; ``queries()``
+exposes every implemented operator (SURVEY.md §2 + the training-data-pipeline
+extensions); ``oracle_sql()`` gives DuckDB twins for everything
+ANSI-SQL-expressible (the BM25/VSM oracles are independent SQL
+reimplementations of the reference math, so the comparison is a real
+cross-engine check).
 """
 
 from __future__ import annotations
@@ -13,26 +14,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from search_engine_trec_fair_ranking_19_spark.entry_queries import (
+    ORACLE_SQL,
+    QUERIES,
+    gate_index,
+)
+from search_engine_trec_fair_ranking_19_spark.operators.query import (
+    bm25_topk,
+    topk_with_docs,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Full pipeline: index build (resumable, cached across calls) → BM25+ top-20
+    → display-field projection (J4)."""
+    tables = gate_index(spark, SF0001)
+    topk = bm25_topk(spark, tables, "spark shuffle partition table", k=20)
+    return topk_with_docs(spark, tables, topk)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twins; non-SQL-expressible ops omitted
+    (pagerank fixpoint, seeded MinHash/SimHash/LSH families, synthetic media)
+    → driver records the weaker rows-only check for those."""
+    return dict(ORACLE_SQL)

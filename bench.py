@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Stages timed:
+  * index_build     — full inverted-index build over the documents table
+                      (fresh dir each run; docs/sec derived)
+  * bm25/vsm/ex     — retrieval latency per query (the reference's headline
+                      metric is s/query, BASELINE.md)
+  * dedup_minhash   — MinHash+LSH near-dup sweep
+  * ann_brute       — exact cosine scan
+  * text_quality    — language-ID + quality scan
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from search_engine_trec_fair_ranking_19_spark.entry_queries import (
+    GATE_CONFIG,
+    documents_as_webtext,
+    load_documents,
+    load_embeddings,
+)
+from search_engine_trec_fair_ranking_19_spark.functions import text_analysis as ta
+from search_engine_trec_fair_ranking_19_spark.operators import dedup, similarity
+from search_engine_trec_fair_ranking_19_spark.operators import query as q
+from search_engine_trec_fair_ranking_19_spark.operators.index_build import build_index
+from search_engine_trec_fair_ranking_19_spark.session import get_spark
+
+BM25_QUERIES = [
+    "spark shuffle partition table",
+    "query data column engine",
+    "window batch row",
+    "hash join scan",
+    "fast slow value key",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="themis-bench")
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    docs = load_documents(spark, sf_dir)
+    n_docs = docs.count()
+
+    # ---- index build ------------------------------------------------------
+    index_dir = tempfile.mkdtemp(prefix="themis_bench_index_")
+    try:
+        t0 = time.time()
+        tables = build_index(
+            spark, documents_as_webtext(docs), index_dir, GATE_CONFIG
+        )
+        timings["index_build"] = time.time() - t0
+
+        # ---- retrieval ----------------------------------------------------
+        # warm-up (JIT/UDF worker spin-up) excluded from per-query numbers
+        q.bm25_topk(spark, tables, "warm up query", k=10)
+        for i, text in enumerate(BM25_QUERIES, 1):
+            t0 = time.time()
+            q.bm25_topk(spark, tables, text, k=20).collect()
+            timings[f"bm25_q{i}"] = time.time() - t0
+        t0 = time.time()
+        q.vsm_topk(spark, tables, BM25_QUERIES[0], k=20).collect()
+        timings["vsm_q1"] = time.time() - t0
+        t0 = time.time()
+        q.existential(spark, tables, BM25_QUERIES[2]).count()
+        timings["existential"] = time.time() - t0
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    # ---- dedup + similarity + text analysis -------------------------------
+    t0 = time.time()
+    dedup.minhash_dedup_pairs(
+        docs, num_hashes=64, num_bands=16, threshold=0.5
+    ).count()
+    timings["dedup_minhash"] = time.time() - t0
+
+    t0 = time.time()
+    dedup.exact_duplicates(docs).count()
+    timings["dedup_exact"] = time.time() - t0
+
+    emb = load_embeddings(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    t0 = time.time()
+    similarity.brute_force_topk(emb, qvec, k=10).collect()
+    timings["ann_brute_force"] = time.time() - t0
+
+    t0 = time.time()
+    docs.select(
+        ta.lang_id(F.col("text")).alias("lang"),
+        ta.quality_score(F.col("text")).alias("quality"),
+    ).agg(F.count(F.lit(1)), F.avg("quality")).collect()
+    timings["text_quality_scan"] = time.time() - t0
+
+    total = time.time() - t_all
+    bm25_times = sorted(v for k, v in timings.items() if k.startswith("bm25_q"))
+    result = {
+        "metric": "index_build_plus_retrieval_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "bm25_p50_sec": round(bm25_times[len(bm25_times) // 2], 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

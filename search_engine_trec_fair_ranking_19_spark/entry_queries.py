@@ -361,9 +361,13 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_ann_brute_force(spark, sf_dir):
     emb = load_embeddings(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
-    full = similarity.brute_force_topk(emb, list(qvec), k=10**9)
-    return full.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    ecol = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(similarity.cosine_similarity(ecol, qlit), 6).alias("cosine"),
+    )
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -448,7 +452,7 @@ ORACLE_SQL = {
     "vsm_topk": _vsm_sql(_VSM_Q, 50),
     "existential": f"""
 WITH {_BASE_CTES}
-SELECT DISTINCT docid, 1.0 AS score FROM tf
+SELECT DISTINCT docid, 1.0::DOUBLE AS score FROM tf
 WHERE term IN ({", ".join(f"'{t}'" for t in _EX_Q)})
 """,
     "doc_ids": """
@@ -491,12 +495,14 @@ scored AS (
   FROM tok
 ),
 best AS (
+  -- ties broken by lexicographically largest code (fr > en > de), matching
+  -- the engine's struct-max tie-break
   SELECT doc_id,
          CASE
            WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'unk'
-           WHEN s_de >= s_en AND s_de >= s_fr AND NOT (s_en >= s_de) THEN 'de'
-           WHEN s_en >= s_fr THEN 'en'
-           ELSE 'fr'
+           WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           WHEN s_en >= s_de THEN 'en'
+           ELSE 'de'
          END AS lang_pred
   FROM scored
 )
@@ -551,7 +557,7 @@ WITH toks AS (
   FROM documents WHERE doc_id < 150
 ),
 sh AS (
-  SELECT doc_id, DISTINCT ON (doc_id, shingle) shingle FROM (
+  SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
     FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
   )

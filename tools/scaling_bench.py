@@ -1,0 +1,166 @@
+"""Scaling-efficiency bench (north-rule evidence).
+
+The rule's N-vs-4N-executor criterion can't use a real cluster in this
+sandbox, so we run the SAME job — full index build + BM25 query set over a
+synthetic webtext corpus — at two parallelism levels (local[8] and local[32])
+on the same input, and report throughput at both plus
+efficiency = (t_low / t_high) / (cpus_high / cpus_low).
+
+Each level runs in its own subprocess (one JVM per level; no warm-JVM bias in
+either direction). Results go to BENCH/BASELINE.md + scaling_bench.json.
+
+Usage:
+  python tools/scaling_bench.py [--docs 60000]          # orchestrate both levels
+  python tools/scaling_bench.py --run-one 8 <corpus> <out.json>   # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "web search engine rank",
+    "w00001 w00002 spark",
+    "index partition shuffle",
+    "running quickly computing",
+]
+
+
+def run_one(cpus: int, corpus_path: str, out_path: str) -> None:
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
+    from search_engine_trec_fair_ranking_19_spark.operators import query as q
+    from search_engine_trec_fair_ranking_19_spark.operators.index_build import (
+        build_index,
+    )
+    from search_engine_trec_fair_ranking_19_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    cfg = EngineConfig()
+    webtext = spark.read.parquet(corpus_path)
+    n_docs = webtext.count()
+
+    index_dir = tempfile.mkdtemp(prefix=f"scaling_index_{cpus}_")
+    t0 = time.time()
+    tables = build_index(spark, webtext, index_dir, cfg)
+    build_sec = time.time() - t0
+
+    q.bm25_topk(spark, tables, "warm up", k=10)  # worker warm-up
+    t0 = time.time()
+    for text in QUERIES:
+        q.bm25_topk(spark, tables, text, k=20).collect()
+    query_sec = time.time() - t0
+
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "build_sec": round(build_sec, 3),
+                "docs_per_sec": round(n_docs / build_sec, 1),
+                "query_sec_total": round(query_sec, 3),
+                "query_sec_avg": round(query_sec / len(QUERIES), 3),
+            },
+            f,
+        )
+    spark.stop()
+
+
+def orchestrate(n_docs: int, low: int, high: int) -> None:
+    from search_engine_trec_fair_ranking_19_spark.session import get_spark
+    from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
+        write_corpus_parquet,
+    )
+
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"scaling_corpus_{n_docs}.parquet"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        spark = get_spark(app_name="scaling-gen", master="local[16]")
+        write_corpus_parquet(
+            spark, corpus_path, n_docs, seed=123, with_links=False
+        )
+        spark.stop()
+
+    results = {}
+    for cpus in (low, high):
+        out = os.path.join(tempfile.gettempdir(), f"scaling_{cpus}.json")
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--run-one",
+                str(cpus),
+                corpus_path,
+                out,
+            ],
+            check=True,
+        )
+        with open(out) as f:
+            results[cpus] = json.load(f)
+
+    lo, hi = results[low], results[high]
+    speedup = lo["build_sec"] / hi["build_sec"]
+    efficiency = speedup / (high / low)
+    q_speedup = lo["query_sec_total"] / hi["query_sec_total"]
+    summary = {
+        "n_docs": lo["n_docs"],
+        "low": lo,
+        "high": hi,
+        "build_speedup": round(speedup, 3),
+        "build_scaling_efficiency": round(efficiency, 3),
+        "query_speedup": round(q_speedup, 3),
+    }
+    print(json.dumps(summary, indent=1))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_bench.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — scaling evidence (north rule)
+
+Sandbox stand-in for N vs 4N executors: the SAME index-build + BM25 query job
+on the SAME synthetic webtext input ({lo['n_docs']} docs, seed 123) at
+local[{low}] and local[{high}], each in a fresh JVM.
+
+| parallelism | build sec | docs/sec | 4-query total sec |
+|---|---|---|---|
+| local[{low}] | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['query_sec_total']} |
+| local[{high}] | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['query_sec_total']} |
+
+- build speedup {low}->{high} cores: **{speedup:.2f}x** (ideal {high//low}x)
+- build scaling efficiency: **{efficiency:.3f}** (target >= 0.8)
+- query-set speedup: {q_speedup:.2f}x
+
+Reference single-node baseline (BASELINE.md): 7,880 docs/sec parse+segment
+phase on a 47M-doc corpus, 0.92-1.26 s/query BM25.
+"""
+        )
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-one", nargs=3, metavar=("CPUS", "CORPUS", "OUT"))
+    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+    if args.run_one:
+        run_one(int(args.run_one[0]), args.run_one[1], args.run_one[2])
+    else:
+        orchestrate(args.docs, args.low, args.high)
