@@ -75,6 +75,10 @@ def main() -> None:
             t0 = time.time()
             q.bm25_topk(spark, tables, text, k=20).collect()
             timings[f"bm25_q{i}"] = time.time() - t0
+        for i, text in enumerate(BM25_QUERIES, 1):
+            t0 = time.time()
+            q.bm25_topk_wand(spark, tables, text, k=20).collect()
+            timings[f"wand_q{i}"] = time.time() - t0
         t0 = time.time()
         q.vsm_topk(spark, tables, BM25_QUERIES[0], k=20).collect()
         timings["vsm_q1"] = time.time() - t0
@@ -110,6 +114,7 @@ def main() -> None:
 
     total = time.time() - t_all
     bm25_times = sorted(v for k, v in timings.items() if k.startswith("bm25_q"))
+    wand_times = sorted(v for k, v in timings.items() if k.startswith("wand_q"))
     result = {
         "metric": "index_build_plus_retrieval_seconds",
         "value": round(total, 3),
@@ -119,6 +124,7 @@ def main() -> None:
         "n_docs": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "bm25_p50_sec": round(bm25_times[len(bm25_times) // 2], 3),
+        "wand_p50_sec": round(wand_times[len(wand_times) // 2], 3),
     }
     print(json.dumps(result))
 

@@ -199,6 +199,13 @@ def q_bm25_oov(spark, sf_dir):
     return _rounded(q.bm25_topk(spark, t, " ".join(_Q3), k=None))
 
 
+def q_bm25_wand(spark, sf_dir):
+    """Block-max WAND pruned top-10 — same SQL oracle as exhaustive BM25
+    (the gate match IS the WAND-equivalence proof at sf0.01)."""
+    t = gate_index(spark, sf_dir)
+    return _rounded(q.bm25_topk_wand(spark, t, " ".join(_Q2), k=10))
+
+
 def q_vsm_topk(spark, sf_dir):
     t = gate_index(spark, sf_dir)
     full = q.vsm_topk(spark, t, " ".join(_VSM_Q), k=None)
@@ -417,6 +424,7 @@ QUERIES = {
     "bm25_single_term": q_bm25_single,
     "bm25_topk_multi_term": q_bm25_topk,
     "bm25_oov_term": q_bm25_oov,
+    "bm25_wand_topk": q_bm25_wand,
     "vsm_topk": q_vsm_topk,
     "existential": q_existential,
     "doc_ids": q_doc_ids,
@@ -449,6 +457,7 @@ ORACLE_SQL = {
     "bm25_single_term": _bm25_sql(_Q1, None),
     "bm25_topk_multi_term": _bm25_sql(_Q2, 50),
     "bm25_oov_term": _bm25_sql(_Q3, None),
+    "bm25_wand_topk": _bm25_sql(_Q2, 10),
     "vsm_topk": _vsm_sql(_VSM_Q, 50),
     "existential": f"""
 WITH {_BASE_CTES}

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..analysis.tokenizer import analyze_query
+from ..analysis.expansion import expand_query
 from ..config import EngineConfig
 from ..functions.codec import decode_block
 from ..oracle.engine import merge_terms
@@ -80,14 +80,13 @@ def prepare_query(
     tables: IndexTables,
     query: str,
     config: EngineConfig,
+    expander=None,
 ) -> PreparedQuery:
+    """Driver-side analyze (+ optional E1-E3 expansion) + vocabulary lookups."""
     stats = tables.collection_stats(spark)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     terms = merge_terms(
-        [
-            (t, 1.0)
-            for t in analyze_query(query, config.use_stemmer, config.use_stopwords)
-        ]
+        expand_query(query, expander, config.use_stemmer, config.use_stopwords)
     )
     dfs_found: dict[str, int] = {}
     if terms:
@@ -104,12 +103,8 @@ def prepare_query(
     return PreparedQuery(terms, dfs, idfs, n_docs, avgdl)
 
 
-def matched_postings(
-    spark: SparkSession, tables: IndexTables, terms: list[str]
-) -> DataFrame:
-    """J2: postings blocks of the query terms, decoded and exploded to
-    (term, docid, tf, dl) rows."""
-    blocks = tables.postings(spark).filter(F.col("term").isin(terms))
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """Decode + explode posting-block rows to (term, docid, tf, dl)."""
     dec = blocks.withColumn("dec", _decode_udf()("gaps", "tfs", "dls"))
     return dec.select(
         "term",
@@ -126,6 +121,14 @@ def matched_postings(
         F.col("p.tf").alias("tf"),
         F.col("p.dl").alias("dl"),
     )
+
+
+def matched_postings(
+    spark: SparkSession, tables: IndexTables, terms: list[str]
+) -> DataFrame:
+    """J2: postings blocks of the query terms, decoded and exploded to
+    (term, docid, tf, dl) rows."""
+    return decode_blocks(tables.postings(spark).filter(F.col("term").isin(terms)))
 
 
 def _terms_df(spark: SparkSession, pq: PreparedQuery) -> DataFrame:
@@ -191,31 +194,149 @@ def bm25_topk(
     k: int | None = 10,
     pagerank_weight: float | None = None,
     config: EngineConfig | None = None,
+    expander=None,
 ) -> DataFrame:
     """Okapi BM25+ top-k → (docid, score), scores max-normalized to [0,1]."""
     config = config or tables.config
     if pagerank_weight is None:
         pagerank_weight = config.pagerank_weight
-    pq = prepare_query(spark, tables, query, config)
+    pq = prepare_query(spark, tables, query, config, expander=expander)
     if not pq.terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    k1, b = config.bm25_k1, config.bm25_b
-    sum_idf = sum(pq.idfs)
-
     posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
+    raw = _bm25_raw(spark, posting, pq, config)
+    return _finalize(spark, tables, raw, k, pagerank_weight)
+
+
+def _bm25_raw(
+    spark: SparkSession, posting: DataFrame, pq: PreparedQuery, config: EngineConfig
+) -> DataFrame:
+    """(term, docid, tf, dl) → (docid, raw) BM25+ scores (`OkapiBM25P.java:67-88`)."""
+    k1, b = config.bm25_k1, config.bm25_b
     terms_df = _terms_df(spark, pq)
     f = F.col("tf") * F.col("weight")
     B = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(pq.avgdl)
     )
     contrib = F.col("idf") * (f * F.lit(k1 + 1.0) / (f + B))
-    raw = (
+    return (
         posting.join(F.broadcast(terms_df), "term")
         .withColumn("contrib", contrib)
         .groupBy("docid")
-        .agg((F.sum("contrib") + F.lit(sum_idf)).alias("raw"))
+        .agg((F.sum("contrib") + F.lit(sum(pq.idfs))).alias("raw"))
     )
-    return _finalize(spark, tables, raw, k, pagerank_weight)
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    tables: IndexTables,
+    query: str,
+    k: int = 10,
+    config: EngineConfig | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Block-max WAND BM25+ top-k — rank-identical to :func:`bm25_topk`, but
+    prunes posting blocks by metadata before any decode work.
+
+    The reference scores every posting exhaustively (`OkapiBM25P.java:51-88`);
+    this is the scale extension from SURVEY.md §4 / the north rule. Spark-first
+    shape (no per-posting driver work, three tiny scalar collects):
+
+      1. **Metadata pass (JVM only).** For each (term, block_id) block of the
+         query terms, an upper bound on the per-doc BM25 contribution from the
+         stored `max_tf` / `min_dl` — the BM25 tf-term is monotone ↑ in tf and
+         ↓ in dl, so ub = idf·(f_max·(k1+1)/(f_max+B_min)) (0 when idf<0).
+         Summing over terms per block_id gives UB(group) ≥ best possible raw
+         score of any doc in that docid range. Pure column math on the blocks
+         table — the gaps/tfs/dls binaries are never touched.
+      2. **Seed.** Decode only the top groups by UB (enough to cover ≥ k docs),
+         score exactly, take the k-th raw score as threshold θ.
+      3. **Prune + exact.** Keep groups with UB ≥ θ (distributed filter on the
+         metadata), decode + score only those, and take the final
+         `orderBy(desc, asc docid).limit(k)` (TakeOrderedAndProject = bounded
+         per-partition min-heap + driver merge).
+
+    Any pruned doc scores ≤ UB(group) < θ ≤ true k-th score, so the result —
+    including the max-normalization constant, whose argmax doc always survives
+    — is identical to the exhaustive path (property-tested)."""
+    config = config or tables.config
+    pq = prepare_query(spark, tables, query, config)
+    if not pq.terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    k1, b = config.bm25_k1, config.bm25_b
+    sum_idf = sum(pq.idfs)
+    terms = [t for t, _ in pq.terms]
+
+    blocks = (
+        tables.postings(spark)
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(_terms_df(spark, pq)), "term")
+        .persist()
+    )
+    try:
+        f_max = F.col("max_tf") * F.col("weight")
+        b_min = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(pq.avgdl)
+        )
+        ub_expr = F.greatest(
+            F.col("idf") * (f_max * F.lit(k1 + 1.0) / (f_max + b_min)),
+            F.lit(0.0),  # idf<0 ⇒ contribution < 0; 0 is a safe upper bound
+        )
+        group_ub = (
+            blocks.withColumn("ub", ub_expr)
+            .groupBy("block_id")
+            .agg(
+                (F.sum("ub") + F.lit(sum_idf)).alias("group_ub"),
+                F.max("df").alias("min_docs"),  # ≥ distinct docs via one term
+            )
+        ).persist()
+
+        # seed: cheapest prefix of groups (by UB desc) holding ≥ k docs
+        seed_rows = (
+            group_ub.orderBy(F.desc("group_ub"), F.asc("block_id"))
+            .select("block_id", "min_docs")
+            .limit(max(4 * k, 64))  # bounded driver transfer
+            .collect()
+        )
+        seed_ids, covered = [], 0
+        for r in seed_rows:
+            seed_ids.append(r["block_id"])
+            covered += r["min_docs"]
+            if covered >= k:
+                break
+        seed_raw = _bm25_raw(
+            spark,
+            decode_blocks(blocks.filter(F.col("block_id").isin(seed_ids))),
+            pq,
+            config,
+        )
+        kth = (
+            seed_raw.orderBy(F.desc("raw"), F.asc("docid"))
+            .limit(k)
+            .agg(F.min("raw"), F.count(F.lit(1)))
+            .head()
+        )
+        theta, n_seed = kth[0], kth[1]
+
+        if theta is None or n_seed < k:
+            survivors = blocks  # not enough docs to fill k: no safe pruning
+        else:
+            keep = group_ub.filter(F.col("group_ub") >= F.lit(theta)).select(
+                "block_id"
+            )
+            survivors = blocks.join(F.broadcast(keep), "block_id", "left_semi")
+
+        if stats is not None:
+            stats["theta"] = theta
+            stats["n_blocks_total"] = blocks.count()
+            stats["n_blocks_survived"] = survivors.count()
+            stats["n_seed_groups"] = len(seed_ids)
+
+        raw = _bm25_raw(spark, decode_blocks(survivors), pq, config)
+        return _finalize(spark, tables, raw, k, 0.0)
+    finally:
+        blocks.unpersist()
+        group_ub.unpersist()
 
 
 def vsm_topk(
@@ -225,6 +346,7 @@ def vsm_topk(
     k: int | None = 10,
     pagerank_weight: float | None = None,
     config: EngineConfig | None = None,
+    expander=None,
 ) -> DataFrame:
     """VSM top-k (`VSM.java:33-129`): query idf = ln(N/(1+DF)); the per-doc norm
     is the index-time vsm_weight (ln(N/DF)) — the reference's inconsistency,
@@ -232,7 +354,7 @@ def vsm_topk(
     config = config or tables.config
     if pagerank_weight is None:
         pagerank_weight = config.pagerank_weight
-    pq = prepare_query(spark, tables, query, config)
+    pq = prepare_query(spark, tables, query, config, expander=expander)
     if not pq.terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+from ..analysis.expansion import expand_query
 from ..analysis.tokenizer import analyze_query, tf_map
 from ..config import DEFAULT_CONFIG, EngineConfig
 
@@ -144,6 +145,7 @@ def bm25_topk(
     query: str,
     k: int | None = None,
     pagerank_weight: float | None = None,
+    expander=None,
 ) -> list[tuple[int, float]]:
     """Okapi BM25+ (OkapiBM25P.java:36-106). Returns [(docid, score)].
 
@@ -156,7 +158,7 @@ def bm25_topk(
         pagerank_weight = cfg.pagerank_weight
     k1, b = cfg.bm25_k1, cfg.bm25_b
     terms = merge_terms(
-        [(t, 1.0) for t in analyze_query(query, cfg.use_stemmer, cfg.use_stopwords)]
+        expand_query(query, expander, cfg.use_stemmer, cfg.use_stopwords)
     )
     if not terms:
         return []
@@ -191,6 +193,7 @@ def vsm_topk(
     query: str,
     k: int | None = None,
     pagerank_weight: float | None = None,
+    expander=None,
 ) -> list[tuple[int, float]]:
     """VSM (VSM.java:33-129). Query idf is ln(N/(1+DF)); index-time norm uses
     ln(N/DF) — the reference's (intentional-looking) inconsistency, replicated."""
@@ -198,7 +201,7 @@ def vsm_topk(
     if pagerank_weight is None:
         pagerank_weight = cfg.pagerank_weight
     terms = merge_terms(
-        [(t, 1.0) for t in analyze_query(query, cfg.use_stemmer, cfg.use_stopwords)]
+        expand_query(query, expander, cfg.use_stemmer, cfg.use_stopwords)
     )
     if not terms:
         return []

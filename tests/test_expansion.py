@@ -1,0 +1,94 @@
+"""Query-expansion (E1-E3) semantics + Spark/oracle parity.
+
+The E3 filter chain (`Search.java:241-269`): multiword expansions dropped,
+≤2 kept per original token, dedup vs already-emitted terms, expansion weight
+0.5, normalize chain applied to expansions as to originals.
+"""
+
+import pytest
+
+from search_engine_trec_fair_ranking_19_spark.analysis.expansion import (
+    GloVeExpander,
+    SynonymTableExpander,
+    WordNetExpander,
+    expand_query,
+)
+from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
+from search_engine_trec_fair_ranking_19_spark.operators import query as q
+from search_engine_trec_fair_ranking_19_spark.operators.index_build import build_index
+from search_engine_trec_fair_ranking_19_spark.oracle import engine as oracle
+from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
+    corpus_pandas,
+    corpus_spark,
+)
+
+
+def test_no_expander_equals_plain_analyze():
+    got = expand_query("Running quickly", None)
+    assert got == [("run", 1.0), ("quickli", 1.0)]
+
+
+def test_expansion_weight_and_cap():
+    exp = SynonymTableExpander({"web": ["net", "online", "internet", "www"]})
+    got = expand_query("web", exp, use_stemmer=False)
+    # cap at 2 expansions, weight 0.5
+    assert got == [("web", 1.0), ("net", 0.5), ("online", 0.5)]
+
+
+def test_multiword_expansions_dropped():
+    exp = SynonymTableExpander({"web": ["world wide web", "net", "the net", "www"]})
+    got = expand_query("web", exp, use_stemmer=False)
+    assert got == [("web", 1.0), ("net", 0.5), ("www", 0.5)]
+
+
+def test_expansion_dedup_vs_previous_terms():
+    exp = SynonymTableExpander({"web": ["search", "net"], "search": ["web", "find"]})
+    got = expand_query("web search", exp, use_stemmer=False)
+    # dedup applies to EXPANSIONS only: "web" as an expansion of "search" is
+    # dropped (already seen), but "search" as an original is always emitted —
+    # mergeTerms (A9) then sums its weights (0.5 expansion + 1.0 original)
+    assert got == [
+        ("web", 1.0), ("search", 0.5), ("net", 0.5),
+        ("search", 1.0), ("find", 0.5),
+    ]
+    merged = oracle.merge_terms(got)
+    assert ("search", 1.5) in merged
+
+
+def test_expansion_normalized_like_originals():
+    exp = SynonymTableExpander({"fast": ["Running", "the"]})
+    got = expand_query("fast", exp)  # stemmer+stopwords on
+    # "Running" stems (original case) then lowercases; "the" is a stopword
+    assert got == [("fast", 1.0), ("run", 0.5)]
+
+
+def test_external_model_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        GloVeExpander()
+    with pytest.raises(NotImplementedError):
+        WordNetExpander()
+
+
+CFG = EngineConfig(postings_block_size=64)
+
+
+def test_expanded_bm25_parity_spark_vs_oracle(spark, tmp_path):
+    n = 250
+    pdf = corpus_pandas(n, seed=23)
+    docs = list(zip(pdf["url"], pdf["text"]))
+    oidx = oracle.build_index(docs, CFG)
+    webtext = corpus_spark(spark, n, seed=23, n_partitions=4)
+    t = build_index(spark, webtext, str(tmp_path / "expidx"), CFG)
+
+    exp = SynonymTableExpander(
+        {"web": ["page", "site"], "search": ["query", "find"]}
+    )
+    want = oracle.bm25_topk(oidx, "web search", k=15, expander=exp)
+    got = q.bm25_topk(spark, t, "web search", k=15, expander=exp)
+    rows = [(r["docid"], r["score"]) for r in got.collect()]
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    for (gd, gs), (_, es) in zip(rows, want):
+        assert gs == pytest.approx(es, abs=1e-9)
+    # expansion must actually change the result vs unexpanded
+    plain = oracle.bm25_topk(oidx, "web search", k=15)
+    assert [d for d, _ in plain] != [d for d, _ in want] or plain != want

@@ -106,6 +106,51 @@ def test_full_ranking_no_limit(spark, tables, oracle_index):
     _assert_matches(got, exp)
 
 
+@pytest.mark.parametrize("query", QUERIES)
+def test_bm25_wand_parity(spark, tables, oracle_index, query):
+    """Block-max WAND must be rank- AND score-identical to the oracle
+    (hence to the exhaustive path) — including the normalization constant."""
+    exp = oracle.bm25_topk(oracle_index, query, k=10)
+    got = q.bm25_topk_wand(spark, tables, query, k=10)
+    _assert_matches(got, exp)
+
+
+def test_bm25_wand_k_larger_than_matches(spark, tables, oracle_index):
+    exp = oracle.bm25_topk(oracle_index, "w19999", k=500)
+    got = q.bm25_topk_wand(spark, tables, "w19999", k=500)
+    _assert_matches(got, exp)
+
+
+def test_bm25_wand_actually_prunes(spark, tmp_path):
+    """On a corpus with block-level score heterogeneity (a few high-TF docs in
+    one docid range, scattered TF=1 elsewhere), WAND must prune blocks whose
+    metadata upper bound can't reach the top-k threshold — while staying
+    rank-identical to the oracle."""
+    cfg = EngineConfig(postings_block_size=16)
+    filler = " ".join(f"filler{i:02d}" for i in range(19))
+    docs = []
+    for i in range(200):
+        # docid order = url rank; docs 0-9 (block 0) get TF=8 "hotword",
+        # every 10th later doc gets TF=1 — same doc length everywhere
+        if i < 10:
+            body = "hotword " * 8 + " ".join(f"filler{j:02d}" for j in range(12))
+        elif i % 10 == 0:
+            body = "hotword " + filler[: len(filler)]
+        else:
+            body = filler + " tail"
+        docs.append((f"u{i:05d}", body))
+    webtext = spark.createDataFrame(docs, "url string, text string")
+    t = build_index(spark, webtext, str(tmp_path / "wandidx"), cfg)
+    oidx = oracle.build_index(docs, cfg)
+
+    stats: dict = {}
+    got = q.bm25_topk_wand(spark, t, "hotword", k=5, stats=stats)
+    exp = oracle.bm25_topk(oidx, "hotword", k=5)
+    _assert_matches(got, exp)
+    assert stats["n_blocks_total"] > 3
+    assert stats["n_blocks_survived"] < stats["n_blocks_total"], stats
+
+
 def test_topk_with_docs_projection(spark, tables, oracle_index):
     topk = q.bm25_topk(spark, tables, "web search", k=5)
     rows = q.topk_with_docs(spark, tables, topk).collect()
