@@ -35,6 +35,12 @@ class EngineConfig:
     # salting fan-out for the two-phase skewed-term aggregation
     salt_buckets: int = 16
 
+    # below this many candidate postings (Σ DF over query terms) the WAND
+    # metadata/seed/prune passes cost more than decoding everything — fall
+    # back to the exhaustive plan (0 = always run real WAND; used by tests
+    # and the correctness gate)
+    wand_min_postings: int = 100_000
+
     def with_(self, **kw) -> "EngineConfig":
         return replace(self, **kw)
 

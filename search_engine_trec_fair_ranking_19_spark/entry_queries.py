@@ -24,13 +24,17 @@ from .config import EngineConfig
 from .functions import text_analysis as ta
 from .operators import dedup, multimodal, similarity
 from .operators import query as q
+from .operators.evaluate import evaluate
 from .operators.index_build import IndexTables, build_index
-from .operators.pagerank import pagerank_table
+from .operators.pagerank import graph_stats, pagerank_table
 from .operators.query import matched_postings
 
 # analyzer OFF = SQL-expressible tokens (documents.text is lowercase words)
 GATE_CONFIG = EngineConfig(
-    use_stemmer=False, use_stopwords=False, postings_block_size=256
+    use_stemmer=False,
+    use_stopwords=False,
+    postings_block_size=256,
+    wand_min_postings=0,  # gate/bench exercise the REAL WAND path
 )
 
 _INDEX_CACHE: dict[str, IndexTables] = {}
@@ -265,13 +269,13 @@ def q_term_tf_matrix(spark, sf_dir):
     )
 
 
-def q_pagerank(spark, sf_dir):
-    """PageRank over a deterministic synthetic link graph (rows-only check:
-    the fixpoint loop is not ANSI-SQL-expressible)."""
-    t = gate_index(spark, sf_dir)
+def _synthetic_links(spark, t):
+    """Deterministic link table over the gate index: two modular targets per
+    doc (guaranteed in-collection, with occasional self-loops/duplicates) plus
+    one always-dangling target — exercises every F3/J6 cleaning path."""
     doc_ids = t.doc_ids(spark)
     n = doc_ids.count()
-    links = doc_ids.select(
+    return doc_ids.select(
         "url",
         F.array(
             F.format_string(
@@ -280,10 +284,46 @@ def q_pagerank(spark, sf_dir):
             F.format_string(
                 "doc%08d", (F.col("docid") * 13 + 5) % F.lit(n)
             ),
+            F.lit("doc99999999"),  # dangling: dropped by the semi-join
         ).alias("out_links"),
     )
-    pr = pagerank_table(spark, t, links, write=False)
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (rows-only check:
+    the fixpoint loop is not ANSI-SQL-expressible)."""
+    t = gate_index(spark, sf_dir)
+    pr = pagerank_table(spark, t, _synthetic_links(spark, t), write=False)
     return pr.select("docid", F.round("pagerank", 9).alias("pagerank"))
+
+
+def q_graph_stats(spark, sf_dir):
+    """A10 citations-graph diagnostics over the synthetic link graph."""
+    t = gate_index(spark, sf_dir)
+    return graph_stats(spark, t, _synthetic_links(spark, t))
+
+
+def q_evaluation(spark, sf_dir):
+    """V1-V3 evaluation harness: AP/nDCG of the engine's full BM25 rankings
+    against deterministic synthetic judgments (docid%3==0 judged, docid%6==0
+    relevant). The SQL oracle recomputes both metrics with window functions
+    over its own independently-ranked list."""
+    t = gate_index(spark, sf_dir)
+    judged = {
+        r["url"]: (1 if r["docid"] % 6 == 0 else 0)
+        for r in t.doc_ids(spark).collect()
+        if r["docid"] % 3 == 0
+    }
+    qs = [(1, " ".join(_Q1)), (2, " ".join(_Q2)), (3, " ".join(_EX_Q))]
+    per_query, _ = evaluate(
+        spark, t, qs, {qid: judged for qid, _ in qs}, model="bm25", k=None
+    )
+    return per_query.select(
+        "qid",
+        F.round("avep", 6).alias("avep"),
+        F.round("ndcg", 6).alias("ndcg"),
+        "n_results",
+    )
 
 
 # --- text analysis ----------------------------------------------------------
@@ -434,6 +474,8 @@ QUERIES = {
     "postings_roundtrip": q_postings_decoded,
     "term_tf_matrix": q_term_tf_matrix,
     "pagerank": q_pagerank,
+    "graph_stats": q_graph_stats,
+    "evaluation_ap_ndcg": q_evaluation,
     "lang_id_counts": q_lang_id_counts,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -602,6 +644,85 @@ SELECT vec_id,
        round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))), 6) AS l2_norm
 FROM embeddings
 """,
+    "graph_stats": """
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) AS docid, doc_id FROM documents
+),
+nn AS (SELECT count(*) AS n FROM docs),
+raw AS (
+  SELECT d.docid AS src, (d.docid * 7 + 3) % (SELECT n FROM nn) AS tgt FROM docs d
+  UNION ALL
+  SELECT d.docid, (d.docid * 13 + 5) % (SELECT n FROM nn) FROM docs d
+  UNION ALL
+  SELECT d.docid, 99999999 FROM docs d
+),
+resolved AS (
+  SELECT r.src, d2.docid AS dst
+  FROM raw r LEFT JOIN docs d2 ON d2.doc_id = r.tgt
+),
+valid AS (SELECT src, dst FROM resolved WHERE dst IS NOT NULL),
+edges AS (SELECT DISTINCT src, dst FROM valid WHERE src <> dst),
+outd AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+ind AS (SELECT dst, count(*) AS c FROM edges GROUP BY dst)
+SELECT
+  (SELECT n FROM nn) AS n_nodes,
+  (SELECT count(*) FROM edges) AS n_edges,
+  (SELECT n FROM nn) - (SELECT count(*) FROM outd) AS n_sinks,
+  (SELECT count(*) FROM valid WHERE src = dst) AS n_self_loops,
+  (SELECT count(*) FROM resolved WHERE dst IS NULL) AS n_dangling,
+  (SELECT count(*) FROM resolved)
+    - (SELECT count(*) FROM resolved WHERE dst IS NULL)
+    - (SELECT count(*) FROM valid WHERE src = dst)
+    - (SELECT count(*) FROM edges) AS n_duplicates,
+  (SELECT coalesce(max(c), 0) FROM outd) AS max_out_deg,
+  (SELECT coalesce(max(c), 0) FROM ind) AS max_in_deg
+""",
+    "evaluation_ap_ndcg": " UNION ALL ".join(
+        f"""
+SELECT * FROM (
+WITH {_BASE_CTES},
+qt AS (SELECT unnest([{", ".join(f"'{t}'" for t in terms)}]) AS term, 1.0 AS weight),
+qidf AS (
+  SELECT qt.term, qt.weight,
+         ln((SELECT n FROM cs) / (1.0 + coalesce(v.df, 0))) AS idf
+  FROM qt LEFT JOIN vocab v USING (term)
+),
+matched AS (
+  SELECT tf.docid,
+         sum(q.idf * (tf.tf * q.weight * 3.0 /
+             (tf.tf * q.weight + 2.0 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM cs)))))
+           AS contrib
+  FROM tf JOIN qidf q USING (term) JOIN dl USING (docid)
+  GROUP BY tf.docid
+),
+ranked AS (
+  SELECT docid,
+         row_number() OVER (
+           ORDER BY contrib + (SELECT sum(idf) FROM qidf) DESC, docid ASC
+         ) AS rnk
+  FROM matched
+),
+j AS (
+  SELECT docid, CASE WHEN docid % 6 = 0 THEN 1 ELSE 0 END AS rel
+  FROM docs WHERE docid % 3 = 0
+),
+rj AS (
+  SELECT row_number() OVER (ORDER BY r.rnk) AS judged_rank,
+         sum(j.rel) OVER (ORDER BY r.rnk) AS rel_so_far,
+         j.rel
+  FROM ranked r JOIN j USING (docid)
+)
+SELECT {qid} AS qid,
+  round((SELECT sum(CASE WHEN rel = 1 THEN rel_so_far::DOUBLE / judged_rank END)
+         FROM rj) / (SELECT sum(rel) FROM j), 6) AS avep,
+  round((SELECT sum(CASE WHEN rel = 1 THEN ln(2) / ln(judged_rank + 1) END) FROM rj)
+      / (SELECT sum(ln(2) / ln(i + 1))
+         FROM unnest(generate_series(1, (SELECT sum(rel) FROM j)::BIGINT)) AS g(i)), 6) AS ndcg,
+  (SELECT count(*) FROM ranked) AS n_results
+)
+"""
+        for qid, terms in [(1, _Q1), (2, _Q2), (3, _EX_Q)]
+    ),
     # pagerank / minhash_lsh_pairs / simhash_pairs / ann_cosine_lsh /
     # multimodal_features: not ANSI-SQL-expressible (iterative fixpoint /
     # seeded hash families / synthetic media) -> rows-only driver check.

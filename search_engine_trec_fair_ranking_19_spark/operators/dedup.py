@@ -28,6 +28,17 @@ from ..functions.text_analysis import fingerprint
 _MERSENNE = (1 << 61) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure heavy pandas-UDF stages get cluster-wide parallelism: a small
+    parquet input (one file < maxPartitionBytes) arrives as ONE partition, so
+    a mapInPandas signature pass would run on one core. At real scale inputs
+    have thousands of partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -151,7 +162,7 @@ def minhash_signatures(
                 sigs.append(sig)
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, schema="doc_id long, sig array<long>"
     )
 
@@ -204,20 +215,36 @@ def minhash_dedup_pairs(
     num_bands: int = 16,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline with exact-Jaccard verification of
-    candidates (verify = shared-shingle join restricted to candidate pairs)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    candidates = lsh_candidate_pairs(sigs, num_bands)
+    """Full MinHash-LSH near-dup pipeline with exact-Jaccard verification.
 
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    Candidates are materialized (they are tiny relative to the corpus — LSH's
+    whole point), then the shingle table is cut to candidate docs with
+    semi-joins BEFORE the shared-shingle join, so verification cost scales
+    with the candidate set, not the corpus."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    candidates = lsh_candidate_pairs(sigs, num_bands).persist()
+    candidates.count()  # materialize once; small
+
+    cand_docs = (
+        candidates.select(F.col("a").alias("doc_id"))
+        .union(candidates.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_docs, df[id_col] == cand_docs["doc_id"], "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    # candidates is persisted: AQE sees its true (small) size and broadcasts;
+    # no explicit broadcast hint — at extreme scale the candidate set may
+    # legitimately exceed broadcast limits and must shuffle
     inter = (
-        a.join(candidates, "a")  # restrict the shingle join to candidates
+        a.join(candidates, "a")
         .join(b, ["shingle", "b"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -265,7 +292,7 @@ def simhash_signatures(
                 hashes.append(int(h.astype(np.int64)))
             yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return _spread(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         gen, schema="doc_id long, simhash long"
     )
 

@@ -19,6 +19,27 @@ from .index_build import IndexTables
 from .query import bm25_topk, topk_with_docs, vsm_topk
 
 
+def read_judgments(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, str]], dict[int, dict[str, int]]]:
+    """S9 judgments scan — rebuild of the eval-file reader
+    (`ThemisEval.java:113-130`): JSONL ``{qid, query, documents: [{doc_id,
+    relevance}]}`` → (queries list, qid → {doc_id: relevance}).
+
+    `spark.read.json` replaces the hand parser; the result is driver-sized
+    (hundreds of queries), so collect is correct here."""
+    df = spark.read.json(path)
+    queries: list[tuple[int, str]] = []
+    judgments: dict[int, dict[str, int]] = {}
+    for row in df.collect():
+        qid = int(row["qid"])
+        queries.append((qid, row["query"]))
+        judgments[qid] = {
+            d["doc_id"]: int(d["relevance"]) for d in (row["documents"] or [])
+        }
+    return queries, judgments
+
+
 def evaluate(
     spark: SparkSession,
     tables: IndexTables,

@@ -84,8 +84,13 @@ class IndexTables:
         return self._read(spark, "pagerank")
 
     def collection_stats(self, spark) -> dict:
-        row = self._read(spark, "collection_stats").head()
-        return row.asDict()
+        # 1-row table, immutable once built — cache on the handle so query
+        # paths don't pay a Spark job per query for N/avgdl
+        cached = getattr(self, "_cs_cache", None)
+        if cached is None:
+            cached = self._read(spark, "collection_stats").head().asDict()
+            self._cs_cache = cached
+        return cached
 
     @property
     def manifest_path(self) -> str:

@@ -52,6 +52,65 @@ def build_edges(
     return edges.select("src", "dst").dropDuplicates(["src", "dst"])
 
 
+def graph_stats(
+    spark: SparkSession, tables: IndexTables, links: DataFrame
+) -> DataFrame:
+    """A10 — citations-graph diagnostics, rebuild of
+    `T/linkAnalysis/stats/CitationsGraph.calculateGraphStats`
+    (`CitationsGraph.java:81-562`): node/edge counts after cleaning, sink
+    count, self-loop / dangling-target / duplicate removal counts, degree
+    extremes. One-row DataFrame, all plain aggregations."""
+    doc_ids = tables.doc_ids(spark)
+    n_nodes = doc_ids.count()
+
+    exploded = (
+        links.select("url", F.explode_outer("out_links").alias("tgt"))
+        .filter(F.col("tgt").isNotNull())
+        .join(doc_ids, "url")
+        .withColumnRenamed("docid", "src")
+    )
+    resolved = exploded.join(
+        doc_ids.select(F.col("url").alias("tgt"), F.col("docid").alias("dst")),
+        "tgt",
+        "left",
+    ).persist()
+    try:
+        n_raw = resolved.count()
+        n_dangling = resolved.filter(F.col("dst").isNull()).count()
+        valid = resolved.filter(F.col("dst").isNotNull())
+        n_self = valid.filter(F.col("src") == F.col("dst")).count()
+        non_self = valid.filter(F.col("src") != F.col("dst"))
+        edges = non_self.select("src", "dst").dropDuplicates(["src", "dst"])
+        edges = edges.persist()
+        n_edges = edges.count()
+        n_dups = n_raw - n_dangling - n_self - n_edges
+        out_deg = edges.groupBy("src").count()
+        in_deg = edges.groupBy("dst").count()
+        n_sinks = n_nodes - out_deg.count()
+        max_out = out_deg.agg(F.max("count")).head()[0] or 0
+        max_in = in_deg.agg(F.max("count")).head()[0] or 0
+        edges.unpersist()
+    finally:
+        resolved.unpersist()
+
+    return spark.createDataFrame(
+        [
+            (
+                n_nodes,
+                n_edges,
+                n_sinks,
+                n_self,
+                n_dangling,
+                n_dups,
+                int(max_out),
+                int(max_in),
+            )
+        ],
+        "n_nodes long, n_edges long, n_sinks long, n_self_loops long, "
+        "n_dangling long, n_duplicates long, max_out_deg long, max_in_deg long",
+    )
+
+
 def pagerank_table(
     spark: SparkSession,
     tables: IndexTables,

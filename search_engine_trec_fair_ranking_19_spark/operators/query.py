@@ -149,32 +149,51 @@ def _finalize(
     pagerank_weight: float,
 ) -> DataFrame:
     """Max-normalize, optional PageRank blend, tie-broken top-k
-    (`Retrieval.sort:71-116`). Returns a small materialized (docid, score) DF."""
+    (`Retrieval.sort:71-116`). Returns a small materialized (docid, score) DF.
+
+    Fast path (no PageRank blend): normalization is monotone, so the top-k
+    ORDER (desc raw, asc docid) is the final order and max(raw) is simply the
+    first collected row — ONE Spark job (TakeOrderedAndProject), with the
+    division done on the collected rows. With a blend, the result-set pagerank
+    max forces the two-pass plan."""
+    if pagerank_weight == 0.0:
+        topk = raw_scores.orderBy(F.desc("raw"), F.asc("docid"))
+        if k is not None:
+            topk = topk.limit(k)
+        rows = topk.collect()
+        if not rows:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        max_raw = rows[0]["raw"]  # global max: sort is desc and row 1 survives
+        if max_raw <= 0.0:
+            # the reference's running max starts at 0 and is forced to 1 when
+            # nothing exceeds it (OkapiBM25P.java:91-94, VSM.java:113-116)
+            max_raw = 1.0
+        return spark.createDataFrame(
+            [(r["docid"], r["raw"] / max_raw) for r in rows], TOPK_SCHEMA
+        )
+
     raw_scores = raw_scores.persist()
     try:
         max_raw = raw_scores.agg(F.max("raw")).head()[0]
         if max_raw is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
         if max_raw <= 0.0:
-            # the reference's running max starts at 0 and is forced to 1 when
-            # nothing exceeds it (OkapiBM25P.java:91-94, VSM.java:113-116)
             max_raw = 1.0
         scored = raw_scores.withColumn("score", F.col("raw") / F.lit(max_raw))
 
-        if pagerank_weight != 0.0:
-            pr = tables.pagerank(spark)
-            scored = scored.join(pr, "docid", "left").withColumn(
-                "pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0))
-            )
-            scored = scored.persist()
-            max_pr = scored.agg(F.max("pagerank")).head()[0]
-            if not max_pr or max_pr == 0.0:
-                max_pr = 1.0
-            scored = scored.withColumn(
-                "score",
-                F.col("score") * F.lit(1.0 - pagerank_weight)
-                + (F.col("pagerank") / F.lit(max_pr)) * F.lit(pagerank_weight),
-            )
+        pr = tables.pagerank(spark)
+        scored = scored.join(pr, "docid", "left").withColumn(
+            "pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0))
+        )
+        scored = scored.persist()
+        max_pr = scored.agg(F.max("pagerank")).head()[0]
+        if not max_pr or max_pr == 0.0:
+            max_pr = 1.0
+        scored = scored.withColumn(
+            "score",
+            F.col("score") * F.lit(1.0 - pagerank_weight)
+            + (F.col("pagerank") / F.lit(max_pr)) * F.lit(pagerank_weight),
+        )
 
         topk = scored.select("docid", "score").orderBy(
             F.desc("score"), F.asc("docid")
@@ -263,6 +282,14 @@ def bm25_topk_wand(
     pq = prepare_query(spark, tables, query, config)
     if not pq.terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    if sum(pq.dfs) < config.wand_min_postings:
+        # tiny candidate set: pruning overhead > decode cost — exhaustive
+        if stats is not None:
+            stats["fallback"] = "exhaustive"
+        posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
+        return _finalize(
+            spark, tables, _bm25_raw(spark, posting, pq, config), k, 0.0
+        )
     k1, b = config.bm25_k1, config.bm25_b
     sum_idf = sum(pq.idfs)
     terms = [t for t, _ in pq.terms]

@@ -23,7 +23,7 @@ from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
 )
 
 N_DOCS = 400
-CFG = EngineConfig(postings_block_size=64)
+CFG = EngineConfig(postings_block_size=64, wand_min_postings=0)
 
 QUERIES = [
     "web search engine",                  # common terms
@@ -126,7 +126,7 @@ def test_bm25_wand_actually_prunes(spark, tmp_path):
     one docid range, scattered TF=1 elsewhere), WAND must prune blocks whose
     metadata upper bound can't reach the top-k threshold — while staying
     rank-identical to the oracle."""
-    cfg = EngineConfig(postings_block_size=16)
+    cfg = EngineConfig(postings_block_size=16, wand_min_postings=0)
     filler = " ".join(f"filler{i:02d}" for i in range(19))
     docs = []
     for i in range(200):
