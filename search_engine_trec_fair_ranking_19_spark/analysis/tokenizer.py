@@ -20,9 +20,17 @@ from __future__ import annotations
 
 from collections import Counter
 
+from functools import lru_cache
+
 from .delimiters import QUERY_DELIMITERS, TEXT_DELIMITERS
-from .porter import stem
+from .porter import stem as _porter_stem
 from .stopwords import STOPWORDS
+
+# Zipf-distributed text means a tiny distinct-token set per worker: memoizing
+# the (pure) Porter stem turns the analyzer's hottest call into a dict hit.
+# 2^18 entries ≈ a few MB per Python worker, far above any real per-worker
+# distinct-token working set.
+stem = lru_cache(maxsize=1 << 18)(_porter_stem)
 
 # str.translate is a C-level scan — the fastest pure-Python way to apply a
 # 360-char delimiter *set* (StringTokenizer semantics) before a whitespace split.

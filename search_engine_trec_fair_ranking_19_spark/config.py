@@ -32,8 +32,10 @@ class EngineConfig:
     # posting list (scale analogue of PARTIAL_INDEX_MAX_DOCS, themis.config:8)
     postings_block_size: int = 4096
 
-    # salting fan-out for the two-phase skewed-term aggregation
-    salt_buckets: int = 16
+    # NOTE on skew: head-term aggregation needs no explicit salt column —
+    # the postings shuffle key is (term, block_id), which splits a head term's
+    # postings into bounded groups deterministically (see ARCHITECTURE.md §1).
+    # AQE skew-join handling covers the remaining join-side skew.
 
     # below this many candidate postings (Σ DF over query terms) the WAND
     # metadata/seed/prune passes cost more than decoding everything — fall

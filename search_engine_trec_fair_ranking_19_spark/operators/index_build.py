@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.tokenizer import tf_map
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..functions.codec import encode_block
+from ..functions.codec import encode_blocks_concat
 
 TOKENS_SCHEMA = "docid long, term string, tf int, dl int, max_tf int"
 BLOCKS_SCHEMA = (
@@ -125,16 +125,19 @@ def assign_doc_ids(webtext: DataFrame, num_ranges: int | None = None) -> DataFra
     for row in counts:
         offsets[row["pid"]] = running
         running += row["count"]
-    offsets_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
+    if offsets:
+        offset_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("__pid")]
+    else:  # empty input: map() is untyped and fails analysis
+        offset_expr = F.lit(0)
     w = Window.partitionBy("__pid").orderBy("url")
     return (
         ranged.withColumn("__pid", pid)
         .withColumn("__local", F.row_number().over(w))
         .withColumn(
             "docid",
-            (offsets_map[F.col("__pid")] + F.col("__local")).cast("long"),
+            (offset_expr + F.col("__local")).cast("long"),
         )
         .drop("__pid", "__local")
     )
@@ -176,7 +179,12 @@ def build_postings_blocks(
     ONE shuffle on (term, block_id) replaces the reference's partial-index
     spill + K-way heap merge (`Indexer.java:173-177,307-362,439-469`): Spark's
     sort-based shuffle IS the merge. sort_array keeps blocks docid-ascending
-    (within-block order invariant, `Index.java:114-130`)."""
+    (within-block order invariant, `Index.java:114-130`).
+
+    The term-sorted physical layout is applied by :func:`write_postings`,
+    which range-partitions the ENCODED (small) rows from a persisted frame so
+    the encoder runs exactly once and the range shuffle moves varint bytes,
+    not fat plist arrays."""
     block_size = config.postings_block_size
 
     grouped = (
@@ -194,37 +202,100 @@ def build_postings_blocks(
         )
     )
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def encode(batches):
+        # mapInArrow: the list<struct> column is accessed as raw Arrow child
+        # arrays — ZERO per-posting Python (the pandas path would surface each
+        # posting as a dict; at 10^8+ postings that is the build bottleneck)
         import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            out = {k: [] for k in ("term", "block_id", "df", "max_tf", "min_dl", "gaps", "tfs", "dls")}
-            for row in pdf.itertuples(index=False):
-                plist = row.plist
-                docids = np.fromiter((p["docid"] for p in plist), dtype=np.int64)
-                tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64)
-                dls = np.fromiter((p["dl"] for p in plist), dtype=np.int64)
-                g, t, d = encode_block(docids, tfs, dls)
-                out["term"].append(row.term)
-                out["block_id"].append(row.block_id)
-                out["df"].append(row.df)
-                out["max_tf"].append(row.max_tf)
-                out["min_dl"].append(row.min_dl)
-                out["gaps"].append(g)
-                out["tfs"].append(t)
-                out["dls"].append(d)
-            yield pd.DataFrame(out)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            idx = batch.schema.get_field_index("plist")
+            plist = batch.column(idx)
+            raw_offsets = np.asarray(plist.offsets, dtype=np.int64)
+            base = raw_offsets[0]
+            offsets = raw_offsets - base
+            flat = plist.values.slice(base, offsets[-1])
+            docids = np.asarray(flat.field("docid"), dtype=np.int64)
+            tf_arr = np.asarray(flat.field("tf"), dtype=np.int64)
+            dl_arr = np.asarray(flat.field("dl"), dtype=np.int64)
 
-    return grouped.mapInPandas(encode, schema=BLOCKS_SCHEMA)
+            gb, gbuf, tb, tbuf, db, dbuf = encode_blocks_concat(
+                docids, tf_arr, dl_arr, offsets
+            )
+
+            def bin_array(bounds, buf):
+                return pa.Array.from_buffers(
+                    pa.binary(),
+                    len(bounds) - 1,
+                    [None, pa.py_buffer(bounds.astype(np.int32)), pa.py_buffer(buf)],
+                )
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("term")),
+                    batch.column(batch.schema.get_field_index("block_id")),
+                    batch.column(batch.schema.get_field_index("df")),
+                    batch.column(batch.schema.get_field_index("max_tf")),
+                    batch.column(batch.schema.get_field_index("min_dl")),
+                    bin_array(gb, gbuf),
+                    bin_array(tb, tbuf),
+                    bin_array(db, dbuf),
+                ],
+                names=["term", "block_id", "df", "max_tf", "min_dl", "gaps", "tfs", "dls"],
+            )
+
+    return grouped.mapInArrow(encode, schema=BLOCKS_SCHEMA)
 
 
-def doc_stats_table(tokens: DataFrame, n_docs: int) -> DataFrame:
+def write_postings(
+    spark: SparkSession,
+    blocks: DataFrame,
+    out_path: str,
+) -> None:
+    """Write posting blocks term-range-sorted (parquet row-group min/max stats
+    then prune query-term scans to a few row groups).
+
+    The encoded frame is persisted first: repartitionByRange's sampling pass
+    reads the cache instead of re-running the encode UDF, and the range
+    shuffle moves compressed varint rows (~100s of bytes), not raw plists."""
+    blocks = blocks.persist()
+    try:
+        blocks.count()  # materialize the single encode pass
+        blocks.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "term", "block_id"
+        ).sortWithinPartitions("term", "block_id").write.mode(
+            "overwrite"
+        ).parquet(out_path)
+    finally:
+        blocks.unpersist()
+
+
+def df_from_tokens(tokens: DataFrame) -> DataFrame:
+    """(term, df) from a token frame — used when no vocabulary table exists
+    yet (first streaming batch before any postings are written)."""
+    return tokens.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def doc_stats_table(
+    tokens: DataFrame, n_docs: int, vocabulary: DataFrame | None = None
+) -> DataFrame:
     """(docid, token_count, max_tf, vsm_weight) — DOCUMENTS_META rebuild.
 
     vsm_weight is the index-time VSM norm (`Indexer.updateVSMWeights:570-623`):
     sqrt(Σ_t (TF_t · ln(N/DF_t))²) / maxTF — computed with a DF join, all
-    closed-form column math."""
-    df_per_term = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    closed-form column math.
+
+    Pass ``vocabulary`` (term, df) when it already exists: the per-term DF
+    then comes from a small table the optimizer can broadcast, instead of a
+    full extra shuffle of the token frame by term."""
+    df_per_term = (
+        vocabulary.withColumnRenamed("df", "term_df")
+        if vocabulary is not None
+        else df_from_tokens(tokens).withColumnRenamed("df", "term_df")
+    )
     return (
         tokens.join(df_per_term, "term")
         .groupBy("docid")
@@ -293,24 +364,49 @@ def build_index(
         df.write.mode("overwrite").parquet(os.path.join(index_dir, name))
 
     # ---- stage 1: docid assignment (DOCUMENTS_ID rebuild) -----------------
+    # The assigned frame is persisted and used DIRECTLY by the later stages —
+    # re-reading doc_ids and re-joining the corpus would add a full corpus
+    # shuffle for nothing. Only the resume path pays that join.
+    docs = None
     if not done("doc_ids"):
         t0 = time.time()
-        docs = assign_doc_ids(webtext.filter(F.col("url").isNotNull()))
+        docs = assign_doc_ids(webtext.filter(F.col("url").isNotNull())).persist()
         write(docs.select("docid", "url"), "doc_ids")
         record("doc_ids", t0)
+    else:
+        docs = webtext.join(tables.doc_ids(spark), "url").persist()
 
-    doc_ids = tables.doc_ids(spark)
-    docs = webtext.join(doc_ids, "url")
+    # ---- stage 2: tokenize → postings blocks (POSTINGS rebuild) ------------
+    # ONE term-shuffle for the whole build: postings come first, vocabulary
+    # and doc_stats reuse the (small) block/vocabulary tables instead of
+    # re-shuffling tokens by term.
+    tokens = tokenize(docs, config).persist()
+    if not done("postings"):
+        t0 = time.time()
+        blocks = build_postings_blocks(tokens, config)
+        write_postings(spark, blocks, os.path.join(index_dir, "postings"))
+        record("postings", t0)
 
-    # ---- stage 2+3: tokenize → doc_stats + collection_stats ---------------
-    tokens = tokenize(docs, config)
+    # ---- stage 3: vocabulary (VOCABULARY rebuild) --------------------------
+    if not done("vocabulary"):
+        t0 = time.time()
+        vocab = (
+            tables.postings(spark)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        write(vocab, "vocabulary")
+        record("vocabulary", t0)
+
+    # ---- stage 4+5: doc_stats + collection_stats ---------------------------
     if not (done("doc_stats") and done("collection_stats")):
         t0 = time.time()
-        tokens.persist()
         # N counts every parsed doc, including zero-token ones
         # (`Indexer.java:195-196`: N = docs parsed, avgdl = totalTokens / N)
-        n_docs = doc_ids.count()
-        stats = doc_stats_table(tokens, n_docs)
+        n_docs = docs.count()
+        stats = doc_stats_table(
+            tokens, n_docs, vocabulary=tables.vocabulary(spark)
+        )
         write(stats, "doc_stats")
         total_tokens = (
             tables.doc_stats(spark).agg(F.sum("token_count")).head()[0] or 0
@@ -336,29 +432,6 @@ def build_index(
             docs_per_sec=round(n_docs / dt, 1),
         )
 
-    # ---- stage 4: postings blocks (POSTINGS rebuild) -----------------------
-    if not done("postings"):
-        t0 = time.time()
-        blocks = build_postings_blocks(tokens, config)
-        # sort by term so parquet row-group min/max stats prune query-term scans
-        blocks.repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 8), "term", "block_id"
-        ).sortWithinPartitions("term", "block_id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(index_dir, "postings"))
-        n_blocks = tables.postings(spark).count()
-        record("postings", t0, rows=n_blocks)
-
-    # ---- stage 5: vocabulary (VOCABULARY rebuild) --------------------------
-    if not done("vocabulary"):
-        t0 = time.time()
-        vocab = (
-            tables.postings(spark)
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
-        write(vocab, "vocabulary")
-        record("vocabulary", t0, rows=tables.vocabulary(spark).count())
-
     tokens.unpersist()
+    docs.unpersist()
     return tables

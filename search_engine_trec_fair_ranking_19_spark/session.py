@@ -25,6 +25,15 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 32)
+    # execution memory scales with concurrent tasks: a fixed small heap makes
+    # N threads SLOWER than N/4 (per-task Tungsten memory → spills). ~1.5 GiB
+    # per local core, floor 8, cap 64 (the box has 128)
+    if master.startswith("local["):
+        inner = master[6:-1]
+        n_threads = int(inner) if inner.isdigit() else (os.cpu_count() or 8)
+    else:
+        n_threads = 8  # cluster mode: executor memory is spark-submit's job
+    default_mem = f"{min(max(8, round(n_threads * 1.5)), 64)}g"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -33,9 +42,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # rows entering UDFs can be FAT (posting blocks carry ~4096-entry
+        # arrays ≈ 64 KB/row): 10k-row batches would be ~GB-sized per worker
+        # × 32 workers. 1024 keeps worst-case batches ~64 MB while thin-row
+        # UDFs (tokenizer) still amortize fine.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -144,3 +144,69 @@ def corpus_spark(spark, n_docs: int, seed: int = 42, n_partitions: int | None = 
 
 def write_corpus_parquet(spark, path: str, n_docs: int, seed: int = 42, **kw) -> None:
     corpus_spark(spark, n_docs, seed=seed, **kw).write.mode("overwrite").parquet(path)
+
+
+def corpus_spark_distributed(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    n_partitions: int | None = None,
+    avgdl: float = 124.0,
+    n_terms: int = 20_000,
+):
+    """Corpus generated ON THE EXECUTORS (mapInPandas over spark.range) — the
+    driver-side generator tops out ~1.7k docs/s, which caps bench corpora.
+
+    Same statistical shape as :func:`generate_corpus` (Zipf vocab, lognormal
+    lengths, stopword sprinkle); NOT byte-identical to the driver generator —
+    each partition seeds its own rng with (seed, partition floor), so content
+    is deterministic for a fixed (seed, n_docs, n_partitions). Parity tests
+    use the driver generator; this one feeds large-scale benches."""
+    import pandas as pd
+
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 2
+
+    vocab_list = _vocab(n_terms)
+
+    def gen(batches):
+        vocab = np.array(vocab_list)
+        ranks = np.arange(len(vocab), dtype=np.float64) + 1.0
+        probs = 1.0 / ranks**1.07
+        probs /= probs.sum()
+        mu = np.log(avgdl) - 0.5 * 0.6**2
+        base_ts = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+        for pdf in batches:
+            ids = pdf["id"].values
+            rng = np.random.default_rng(seed * 1_000_003 + int(ids[0]))
+            lengths = np.maximum(3, rng.lognormal(mu, 0.6, len(ids)).astype(np.int64))
+            # one big draw for the whole batch, then split per doc
+            total = int(lengths.sum())
+            words = rng.choice(vocab, size=total, p=probs)
+            stops = rng.random(total) < 0.12
+            words[stops] = np.array(_STOP)[
+                rng.integers(0, len(_STOP), int(stops.sum()))
+            ]
+            bounds = np.concatenate(([0], np.cumsum(lengths)))
+            texts = [
+                " ".join(words[bounds[i] : bounds[i + 1]])
+                for i in range(len(ids))
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://example.org/{seed}/{int(i):010d}/page.html"
+                        for i in ids
+                    ],
+                    "warc_ts": [base_ts] * len(ids),
+                    "html": [make_html(t) for t in texts],
+                    "text": texts,
+                    "lang": ["en"] * len(ids),
+                }
+            )
+
+    return (
+        spark.range(n_docs)
+        .repartition(n_partitions)
+        .mapInPandas(gen, schema=WEBTEXT_SCHEMA_DDL.rsplit(", ", 1)[0])
+    )

@@ -1,0 +1,248 @@
+"""Incremental (streaming) index maintenance — a Spark-native extension.
+
+The reference is strictly batch (SURVEY.md §2.12): adding documents means
+rebuilding the whole index. At web scale the corpus arrives continuously, so
+this module maintains the SAME five index tables (`operators/index_build.py`)
+under append-only ingestion, LSM-style:
+
+  * each micro-batch appends new `(term, block_id)` posting-block rows — new
+    docs get docids past the current maximum, so new blocks never collide
+    with existing block ranges and every invariant (bounded blocks, docid-
+    sorted, dl inlined) is preserved;
+  * `collection_stats` (N, avgdl) and `vocabulary` (DF) are refreshed per
+    batch, so BM25 scores after ingesting a corpus are EXACTLY the scores of
+    a from-scratch batch build over the same corpus (only docid assignment —
+    and therefore tie-break order between equal scores — differs, since
+    streaming docids are arrival-ordered, not global-url-ordered);
+  * `doc_stats.vsm_weight` is computed against the DF snapshot at ingest time
+    (the index-time norm is point-in-time in the reference too —
+    `Indexer.updateVSMWeights` runs once); `compact_index` recomputes it
+    exactly when called.
+
+Drive it either directly per-DataFrame (`ingest_batch`) or from Structured
+Streaming via ``foreachBatch`` (`start_ingest_stream`): the stream is the
+delivery mechanism, the batch hook is the indexing transaction — idempotent
+per batch via the ingested-batch manifest, which is exactly the Spark-
+recommended pattern for exactly-once sinks over availableNow/trigger streams.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..operators.index_build import (
+    IndexTables,
+    assign_doc_ids,
+    build_index,
+    build_postings_blocks,
+    doc_stats_table,
+    tokenize,
+    write_postings,
+)
+
+WEBTEXT_STREAM_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def _ingested_batches_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_ingested_batches.json")
+
+
+def _load_ingested(index_dir: str) -> set[int]:
+    p = _ingested_batches_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return set(json.load(f))
+    return set()
+
+
+def _record_ingested(index_dir: str, batch_id: int) -> None:
+    done = _load_ingested(index_dir)
+    done.add(batch_id)
+    with open(_ingested_batches_path(index_dir), "w") as f:
+        json.dump(sorted(done), f)
+
+
+def ingest_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    batch_id: int | None = None,
+) -> IndexTables:
+    """Append one batch of webtext rows to an existing (or empty) index.
+
+    Idempotent when ``batch_id`` is given: an already-ingested id is a no-op
+    (foreachBatch replays after failure with the same id)."""
+    tables = IndexTables(index_dir, config)
+    if batch_id is not None and batch_id in _load_ingested(index_dir):
+        return tables
+
+    if not os.path.exists(os.path.join(index_dir, "doc_ids")):
+        # first batch: a plain batch build
+        build_index(spark, batch, index_dir, config)
+        if batch_id is not None:
+            _record_ingested(index_dir, batch_id)
+        return tables
+
+    stats = dict(tables.collection_stats(spark))
+    max_docid = tables.doc_ids(spark).agg(F.max("docid")).head()[0] or 0
+
+    # new docs only (idempotence against re-delivered urls), docids appended
+    # past the current maximum — arrival order, rank(url) within the batch
+    fresh = batch.filter(F.col("url").isNotNull()).join(
+        tables.doc_ids(spark).select("url"), "url", "left_anti"
+    )
+    docs = assign_doc_ids(fresh).withColumn(
+        "docid", F.col("docid") + F.lit(max_docid)
+    )
+    # localCheckpoint, not persist: appending to doc_ids below invalidates any
+    # cache whose lineage READS doc_ids (Spark recache-by-path) — the anti-join
+    # would silently re-evaluate against the just-updated table and come back
+    # empty. Checkpointing severs the lineage so `docs` is a stable snapshot.
+    docs = docs.localCheckpoint()
+    try:
+        n_new = docs.count()
+        if n_new == 0:
+            if batch_id is not None:
+                _record_ingested(index_dir, batch_id)
+            return tables
+
+        def append(df: DataFrame, name: str) -> None:
+            df.write.mode("append").parquet(os.path.join(index_dir, name))
+
+        append(docs.select("docid", "url"), "doc_ids")
+
+        tokens = tokenize(docs, config).persist()
+        try:
+            blocks = build_postings_blocks(tokens, config)
+            append(blocks, "postings")
+            append(doc_stats_table(tokens, int(stats["n_docs"]) + n_new), "doc_stats")
+        finally:
+            tokens.unpersist()
+
+        # refresh the global aggregates so query-time N/avgdl/DF are current
+        new_total_tokens = (
+            tables.doc_stats(spark).agg(F.sum("token_count")).head()[0] or 0
+        )
+        n_docs = int(stats["n_docs"]) + n_new
+        cs = spark.createDataFrame(
+            [
+                (
+                    n_docs,
+                    new_total_tokens / n_docs if n_docs else 0.0,
+                    bool(stats["use_stemmer"]),
+                    bool(stats["use_stopwords"]),
+                )
+            ],
+            "n_docs long, avgdl double, use_stemmer boolean, use_stopwords boolean",
+        )
+        cs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "collection_stats_next")
+        )
+        _swap(index_dir, "collection_stats")
+
+        vocab = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        vocab.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "vocabulary_next")
+        )
+        _swap(index_dir, "vocabulary")
+        tables._cs_cache = None  # invalidate the per-handle stats cache
+        if batch_id is not None:
+            _record_ingested(index_dir, batch_id)
+        return tables
+    finally:
+        docs.unpersist()
+
+
+def _swap(index_dir: str, name: str) -> None:
+    """Atomic-ish replace of a small table: write `<name>_next`, then rename.
+
+    (On a real lakehouse this is an Iceberg snapshot commit; for the parquet
+    sandbox a directory swap keeps readers from seeing a half-written table.)"""
+    import shutil
+
+    cur, nxt = os.path.join(index_dir, name), os.path.join(index_dir, name + "_next")
+    old = cur + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(cur):
+        os.rename(cur, old)
+    os.rename(nxt, cur)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, config: EngineConfig = DEFAULT_CONFIG
+) -> IndexTables:
+    """Merge appended posting deltas and recompute exact VSM norms.
+
+    Re-sorts the postings table into term-range order (restoring row-group
+    pruning quality degraded by appends) and recomputes `doc_stats.vsm_weight`
+    against the CURRENT global DF — after compaction the index is
+    indistinguishable from a from-scratch batch build modulo docid order."""
+    tables = IndexTables(index_dir, config)
+    from ..operators.query import decode_blocks
+
+    # decode → re-block → re-encode: restores the term-range-sorted layout and
+    # keeps blocks bounded/docid-sorted regardless of how many appends happened
+    tokens = decode_blocks(tables.postings(spark))  # (term, docid, tf, dl)
+    write_postings(
+        spark,
+        build_postings_blocks(tokens, config),
+        os.path.join(index_dir, "postings_next"),
+    )
+    _swap(index_dir, "postings")
+
+    # exact doc_stats against the CURRENT global DF (max_tf = per-doc max TF)
+    n_docs = int(tables.collection_stats(spark)["n_docs"])
+    fresh = decode_blocks(tables.postings(spark))
+    per_doc = fresh.groupBy("docid").agg(F.max("tf").alias("max_tf"))
+    stats = doc_stats_table(
+        fresh.join(per_doc, "docid"), n_docs, vocabulary=tables.vocabulary(spark)
+    )
+    stats.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "doc_stats_next")
+    )
+    _swap(index_dir, "doc_stats")
+    return tables
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+):
+    """Structured-Streaming driver: watch ``source_dir`` for new webtext
+    parquet files and ingest each micro-batch transactionally.
+
+    ``available_now=True`` processes the backlog then stops (the testable
+    mode); ``False`` runs continuously."""
+    stream = (
+        spark.readStream.schema(WEBTEXT_STREAM_DDL).parquet(source_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(spark, batch_df, index_dir, config, batch_id=batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -44,34 +44,58 @@ def run_one(cpus: int, corpus_path: str, out_path: str) -> None:
     )
     from search_engine_trec_fair_ranking_19_spark.session import get_spark
 
+    # shuffle on tmpfs: on a real cluster each executor shuffles to its OWN
+    # local disks (per-executor I/O scales with N); local-mode's single OS
+    # disk does not, so RAM-backed shuffle isolates the CPU-scaling signal
+    # the criterion is about. Documented in BENCH/BASELINE.md.
+    extra = (
+        {"spark.local.dir": "/dev/shm/spark-local"}
+        if os.path.isdir("/dev/shm")
+        else None
+    )
     spark = get_spark(
         app_name=f"scaling-bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
+        extra_conf=extra,
     )
     cfg = EngineConfig()
     webtext = spark.read.parquet(corpus_path)
     n_docs = webtext.count()
 
-    index_dir = tempfile.mkdtemp(prefix=f"scaling_index_{cpus}_")
-    t0 = time.time()
-    tables = build_index(spark, webtext, index_dir, cfg)
-    build_sec = time.time() - t0
+    # multiple trials, report the MIN: this box is a shared VM with noisy-
+    # neighbor variance (observed 2-3x run-to-run on identical inputs); the
+    # minimum is the least-contended measurement of the code's actual cost
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    build_secs, query_secs = [], []
+    import shutil
 
-    q.bm25_topk(spark, tables, "warm up", k=10)  # worker warm-up
-    t0 = time.time()
-    for text in QUERIES:
-        q.bm25_topk(spark, tables, text, k=20).collect()
-    query_sec = time.time() - t0
+    for _ in range(trials):
+        index_dir = tempfile.mkdtemp(prefix=f"scaling_index_{cpus}_")
+        try:
+            t0 = time.time()
+            tables = build_index(spark, webtext, index_dir, cfg)
+            build_secs.append(time.time() - t0)
 
+            q.bm25_topk(spark, tables, "warm up", k=10)  # worker warm-up
+            t0 = time.time()
+            for text in QUERIES:
+                q.bm25_topk(spark, tables, text, k=20).collect()
+            query_secs.append(time.time() - t0)
+        finally:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+    build_sec, query_sec = min(build_secs), min(query_secs)
     with open(out_path, "w") as f:
         json.dump(
             {
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "build_sec": round(build_sec, 3),
+                "build_sec_trials": [round(s, 3) for s in build_secs],
                 "docs_per_sec": round(n_docs / build_sec, 1),
                 "query_sec_total": round(query_sec, 3),
+                "query_sec_trials": [round(s, 3) for s in query_secs],
                 "query_sec_avg": round(query_sec / len(QUERIES), 3),
             },
             f,
@@ -81,18 +105,19 @@ def run_one(cpus: int, corpus_path: str, out_path: str) -> None:
 
 def orchestrate(n_docs: int, low: int, high: int) -> None:
     from search_engine_trec_fair_ranking_19_spark.session import get_spark
-    from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
-        write_corpus_parquet,
-    )
 
     corpus_path = os.path.join(
         tempfile.gettempdir(), f"scaling_corpus_{n_docs}.parquet"
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        spark = get_spark(app_name="scaling-gen", master="local[16]")
-        write_corpus_parquet(
-            spark, corpus_path, n_docs, seed=123, with_links=False
+        from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
+            corpus_spark_distributed,
         )
+
+        spark = get_spark(app_name="scaling-gen", master="local[32]")
+        corpus_spark_distributed(spark, n_docs, seed=123).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
         spark.stop()
 
     results = {}
