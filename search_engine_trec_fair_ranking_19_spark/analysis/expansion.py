@@ -14,15 +14,21 @@ expander:
 
   * every candidate list is generated per ORIGINAL query token (pre-
     normalization — the reference expands raw tokens, `Search.java:243`);
-  * expansion terms containing whitespace are dropped (`Search.java:248-253`);
-  * at most ``max_per_term`` (=2) expansions are kept per original token
-    (`Search.java:255-258`);
-  * an expansion equal (post-normalization) to an already-emitted term is
-    dropped (`Search.java:259-266`);
-  * originals carry weight 1.0, expansions ``expansion_weight`` (=0.5)
-    (`GloVe.java:67`, `Search.java:262`);
-  * the normalize chain (stopword → guarded stem → lowercase) applies to
-    expansions exactly as to originals (`Search.java:229-238` reused).
+  * a stopword original is skipped ENTIRELY, expansions included — the
+    expanders `continue` before emitting the token's list
+    (`GloVe.java:60-62`, `WordNet.java:72-74`);
+  * per token the candidate list is [original(w=1.0), cand1(w=0.5), …] and at
+    most TWO terms are kept INCLUDING the original (`termCount` counts the
+    original and breaks at 2, `Search.java:249-266`) — i.e. ≤1 expansion per
+    token survives;
+  * stopword and multiword (`term.split(" ").length > 1`) candidates are
+    dropped before counting (`Search.java:250-253`);
+  * dedup is ONLY against the immediately preceding emitted term
+    (`newQuery.get(size-1)`, `Search.java:260`), comparing the stored
+    LOWERCASED term against the stemmed-but-not-yet-lowercased candidate —
+    a case-sensitive quirk replicated verbatim;
+  * originals carry weight 1.0, expansions ``EXPANSION_WEIGHT`` (=0.5)
+    (`GloVe.java:55-56`, `Search.java:261`).
 
 Expansion is driver-side work on a handful of tokens — it never touches the
 distributed plan (the expanded (term, weight) list feeds the same broadcast
@@ -33,10 +39,11 @@ from __future__ import annotations
 
 from typing import Protocol
 
-from .tokenizer import normalize_token, split_query
+from .stopwords import STOPWORDS
+from .tokenizer import normalize_token, split_query, stem
 
-EXPANSION_WEIGHT = 0.5  # GloVe.java:67
-MAX_EXPANSIONS_PER_TERM = 2  # Search.java:255-258
+EXPANSION_WEIGHT = 0.5  # GloVe.java:55
+MAX_TERMS_PER_TOKEN = 2  # incl. the original: Search.java:264-266
 
 
 class QueryExpander(Protocol):
@@ -89,28 +96,40 @@ def expand_query(
     """query string → [(normalized term, weight)] with E3 filter semantics.
 
     With ``expander=None`` this reduces exactly to the unexpanded analyzer
-    (every term weight 1.0). Duplicate merged terms are NOT collapsed here —
-    `merge_terms` (A9) does that downstream, matching the reference order of
-    operations (`Retrieval.mergeTerms` runs inside the model)."""
+    (every term weight 1.0, `Search.java:229-240`). Duplicate merged terms are
+    NOT collapsed here — `merge_terms` (A9) does that downstream, matching the
+    reference order of operations (`Retrieval.mergeTerms` runs inside the
+    model)."""
+    if expander is None:
+        out = []
+        for raw in split_query(query):
+            norm = normalize_token(raw, use_stemmer, use_stopwords)
+            if norm is not None:
+                out.append((norm, 1.0))
+        return out
+
     out: list[tuple[str, float]] = []
-    seen: set[str] = set()
     for raw in split_query(query):
-        norm = normalize_token(raw, use_stemmer, use_stopwords)
-        if norm is not None:
-            out.append((norm, 1.0))
-            seen.add(norm)
-        if expander is None:
+        # expander level: a stopword original drops the whole token, its
+        # expansions included (GloVe.java:60-62, WordNet.java:72-74)
+        if use_stopwords and raw.lower() in STOPWORDS:
             continue
-        kept = 0
-        for cand in expander.expand(raw):
-            if kept >= MAX_EXPANSIONS_PER_TERM:
+        candidates = [(raw, 1.0)] + [
+            (c, EXPANSION_WEIGHT) for c in expander.expand(raw)
+        ]
+        term_count = 0
+        for cand, weight in candidates:
+            # Search.java:250-253: stopword + multiword dropped pre-count
+            if use_stopwords and cand.lower() in STOPWORDS:
+                continue
+            if len(cand.split(" ")) > 1:
+                continue
+            t = stem(cand) if use_stemmer else cand
+            # Search.java:260: dedup ONLY vs the last emitted term; stored
+            # terms are lowercased, the candidate is not yet — replicated
+            if term_count == 0 or not (out and out[-1][0] == t):
+                out.append((t.lower(), weight))
+                term_count += 1
+            if term_count == MAX_TERMS_PER_TOKEN:
                 break
-            if any(c.isspace() for c in cand):  # multiword dropped
-                continue
-            cnorm = normalize_token(cand, use_stemmer, use_stopwords)
-            if cnorm is None or cnorm in seen:
-                continue
-            out.append((cnorm, EXPANSION_WEIGHT))
-            seen.add(cnorm)
-            kept += 1
     return out

@@ -40,8 +40,16 @@ class EngineConfig:
     # below this many candidate postings (Σ DF over query terms) the WAND
     # metadata/seed/prune passes cost more than decoding everything — fall
     # back to the exhaustive plan (0 = always run real WAND; used by tests
-    # and the correctness gate)
+    # and the correctness gate). Default picked from the measured crossover
+    # (tools/wand_crossover_bench.py → BENCH/wand_crossover.json).
     wand_min_postings: int = 100_000
+
+    # query-time vocabulary handling: up to this many terms the whole
+    # vocabulary is loaded into a driver dict (the reference's query-time
+    # HashMap, `Indexer.java:643-651`); above it, term lookups fall back to a
+    # pushed-IN-filter scan of the cached vocabulary table (driver can't hold
+    # a 10^12-doc-scale vocabulary)
+    vocab_driver_cache_max_terms: int = 2_000_000
 
     def with_(self, **kw) -> "EngineConfig":
         return replace(self, **kw)

@@ -249,17 +249,25 @@ def q_collection_stats(spark, sf_dir):
 
 def q_postings_decoded(spark, sf_dir):
     """Decode EVERY posting block back to (term, docid, tf) — proves the
-    delta+varint codec round-trips the whole index (vs SQL group-by oracle)."""
+    delta+varint codec round-trips the whole index (vs SQL group-by oracle).
+    Decodes the blocks table directly — no driver-side vocabulary round-trip
+    (that pattern would bottleneck on the driver at a web-scale vocabulary)."""
     t = gate_index(spark, sf_dir)
-    vocab_terms = [r["term"] for r in t.vocabulary(spark).select("term").collect()]
-    return matched_postings(spark, t, vocab_terms).select("term", "docid", "tf")
+    from search_engine_trec_fair_ranking_19_spark.operators.query import (
+        decode_blocks,
+    )
+
+    return decode_blocks(t.postings(spark)).select("term", "docid", "tf")
 
 
 def q_term_tf_matrix(spark, sf_dir):
     t = gate_index(spark, sf_dir)
-    vocab_terms = [r["term"] for r in t.vocabulary(spark).select("term").collect()]
+    from search_engine_trec_fair_ranking_19_spark.operators.query import (
+        decode_blocks,
+    )
+
     return (
-        matched_postings(spark, t, vocab_terms)
+        decode_blocks(t.postings(spark))
         .groupBy("docid")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
@@ -521,7 +529,7 @@ vsm_w AS (
   FROM tf JOIN vocab v USING (term) JOIN dl USING (docid)
   GROUP BY tf.docid
 )
-SELECT dl.docid, dl.dl AS token_count, dl.max_tf,
+SELECT dl.docid, dl.dl::BIGINT AS token_count, dl.max_tf::BIGINT AS max_tf,
        round(w.vsm_weight, 6) AS vsm_weight
 FROM dl JOIN vsm_w w USING (docid)
 """,
@@ -529,7 +537,8 @@ FROM dl JOIN vsm_w w USING (docid)
     "postings_roundtrip": f"WITH {_BASE_CTES} SELECT term, docid, tf FROM tf",
     "term_tf_matrix": f"""
 WITH {_BASE_CTES}
-SELECT docid, count(*) AS n_terms, sum(tf) AS dl, max(tf) AS max_tf
+SELECT docid, count(*)::BIGINT AS n_terms, sum(tf)::BIGINT AS dl,
+       max(tf)::BIGINT AS max_tf
 FROM tf GROUP BY docid
 """,
     "lang_id_counts": f"""

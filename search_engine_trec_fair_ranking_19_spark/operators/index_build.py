@@ -60,7 +60,17 @@ STAGES = (
 
 @dataclass
 class IndexTables:
-    """Handle to the on-disk index (the rebuild's INDEX_DIR)."""
+    """Handle to the on-disk index (the rebuild's INDEX_DIR).
+
+    The query-hot tables (postings, vocabulary, doc_stats, doc_ids) are
+    ``persist(MEMORY_ONLY)``-cached per handle — the Spark analog of the
+    reference keeping the vocabulary HashMap in heap and postings behind the
+    OS page cache (`Indexer.java:643-651`, `MemoryBuffers.java:30-73`).
+    MEMORY_ONLY (not MEMORY_AND_DISK) on purpose: at web scale eviction just
+    drops partitions and the scan falls back to the parquet files — no
+    local-disk double-write of a 100 TB table. After any table mutation
+    (streaming ingest / compaction), call :meth:`refresh`.
+    """
 
     path: str
     config: EngineConfig
@@ -68,20 +78,59 @@ class IndexTables:
     def _read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, name))
 
+    def _cached(self, spark: SparkSession, name: str) -> DataFrame:
+        from pyspark import StorageLevel
+
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = {}
+            self._df_cache = cache
+        if name not in cache:
+            cache[name] = self._read(spark, name).persist(
+                StorageLevel.MEMORY_ONLY
+            )
+        return cache[name]
+
+    def refresh(self) -> None:
+        """Drop every per-handle cache (after ingest/compaction/writeback)."""
+        for df in getattr(self, "_df_cache", {}).values():
+            df.unpersist()
+        self._df_cache = {}
+        self._cs_cache = None
+        self._vocab_map_state = None
+
     def doc_ids(self, spark):  # (docid long, url string)
-        return self._read(spark, "doc_ids")
+        return self._cached(spark, "doc_ids")
 
     def doc_stats(self, spark):  # (docid, token_count, max_tf, vsm_weight)
-        return self._read(spark, "doc_stats")
+        return self._cached(spark, "doc_stats")
 
     def postings(self, spark):  # BLOCKS_SCHEMA
-        return self._read(spark, "postings")
+        return self._cached(spark, "postings")
 
     def vocabulary(self, spark):  # (term, df)
-        return self._read(spark, "vocabulary")
+        return self._cached(spark, "vocabulary")
 
     def pagerank(self, spark):  # (docid, pagerank)
-        return self._read(spark, "pagerank")
+        return self._cached(spark, "pagerank")
+
+    def vocab_map(self, spark) -> dict[str, int] | None:
+        """Whole-vocabulary driver map — the rebuild of the reference loading
+        `vocabulary.idx` into a heap HashMap at query time
+        (`Indexer.java:643-651`). Returns None above the size cap (at
+        10^12-doc scale the vocabulary no longer fits on the driver; query
+        paths then fall back to a pushed-filter scan of the cached table)."""
+        state = getattr(self, "_vocab_map_state", None)
+        if state is None:
+            vocab = self.vocabulary(spark)
+            n = vocab.count()
+            if n <= self.config.vocab_driver_cache_max_terms:
+                m = {r[0]: int(r[1]) for r in vocab.collect()}
+            else:
+                m = None
+            state = ("loaded", m)
+            self._vocab_map_state = state
+        return state[1]
 
     def collection_stats(self, spark) -> dict:
         # 1-row table, immutable once built — cache on the handle so query
@@ -367,6 +416,10 @@ def build_index(
     # The assigned frame is persisted and used DIRECTLY by the later stages —
     # re-reading doc_ids and re-joining the corpus would add a full corpus
     # shuffle for nothing. Only the resume path pays that join.
+    # Only (url, text) survive past the scan: every other webtext column
+    # (html binary, warc_ts, lang) is dead weight in the docid range shuffle
+    # and the persisted cache — at web scale html is the BULK of the row.
+    webtext = webtext.select("url", "text")
     docs = None
     if not done("doc_ids"):
         t0 = time.time()
@@ -374,7 +427,7 @@ def build_index(
         write(docs.select("docid", "url"), "doc_ids")
         record("doc_ids", t0)
     else:
-        docs = webtext.join(tables.doc_ids(spark), "url").persist()
+        docs = webtext.join(tables._read(spark, "doc_ids"), "url").persist()
 
     # ---- stage 2: tokenize → postings blocks (POSTINGS rebuild) ------------
     # ONE term-shuffle for the whole build: postings come first, vocabulary
@@ -388,10 +441,14 @@ def build_index(
         record("postings", t0)
 
     # ---- stage 3: vocabulary (VOCABULARY rebuild) --------------------------
+    # NOTE: build-time reads use _read (uncached) — a persist here would pin
+    # this build's file listing in the session CacheManager, and Spark
+    # substitutes cached relations by plan into ANY later read of the same
+    # path, turning out-of-band appends (streaming ingest) invisible.
     if not done("vocabulary"):
         t0 = time.time()
         vocab = (
-            tables.postings(spark)
+            tables._read(spark, "postings")
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
@@ -405,11 +462,12 @@ def build_index(
         # (`Indexer.java:195-196`: N = docs parsed, avgdl = totalTokens / N)
         n_docs = docs.count()
         stats = doc_stats_table(
-            tokens, n_docs, vocabulary=tables.vocabulary(spark)
+            tokens, n_docs, vocabulary=tables._read(spark, "vocabulary")
         )
         write(stats, "doc_stats")
         total_tokens = (
-            tables.doc_stats(spark).agg(F.sum("token_count")).head()[0] or 0
+            tables._read(spark, "doc_stats").agg(F.sum("token_count")).head()[0]
+            or 0
         )
         cs = spark.createDataFrame(
             [

@@ -90,14 +90,21 @@ def prepare_query(
     )
     dfs_found: dict[str, int] = {}
     if terms:
-        # J1: query terms ⋈ vocabulary. The IN filter is pushed into the scan;
-        # misses get DF=0 (`Indexer.getDFs:991-1005`).
-        rows = (
-            tables.vocabulary(spark)
-            .filter(F.col("term").isin([t for t, _ in terms]))
-            .collect()
-        )
-        dfs_found = {r["term"]: r["df"] for r in rows}
+        # J1: query terms ⋈ vocabulary. Fast path: the per-handle driver
+        # vocab map (the reference's query-time HashMap) — zero Spark jobs
+        # per query. Fallback (vocabulary too big for the driver): pushed IN
+        # filter on the cached table; misses get DF=0
+        # (`Indexer.getDFs:991-1005`).
+        vm = tables.vocab_map(spark)
+        if vm is not None:
+            dfs_found = {t: vm[t] for t, _ in terms if t in vm}
+        else:
+            rows = (
+                tables.vocabulary(spark)
+                .filter(F.col("term").isin([t for t, _ in terms]))
+                .collect()
+            )
+            dfs_found = {r["term"]: r["df"] for r in rows}
     dfs = [int(dfs_found.get(t, 0)) for t, _ in terms]
     idfs = [math.log(n_docs / (1.0 + df)) for df in dfs]
     return PreparedQuery(terms, dfs, idfs, n_docs, avgdl)
@@ -149,60 +156,92 @@ def _finalize(
     pagerank_weight: float,
 ) -> DataFrame:
     """Max-normalize, optional PageRank blend, tie-broken top-k
-    (`Retrieval.sort:71-116`). Returns a small materialized (docid, score) DF.
+    (`Retrieval.sort:71-116`).
 
-    Fast path (no PageRank blend): normalization is monotone, so the top-k
-    ORDER (desc raw, asc docid) is the final order and max(raw) is simply the
-    first collected row — ONE Spark job (TakeOrderedAndProject), with the
-    division done on the collected rows. With a blend, the result-set pagerank
-    max forces the two-pass plan."""
+    Plan by case — no path ever collects an unbounded result set on the
+    driver (a head term at web scale matches 10^9 docs):
+
+    * bounded k, no blend: normalization is monotone, so the top-k ORDER
+      (desc raw, asc docid) is the final order and max(raw) is the first
+      collected row — ONE Spark job (TakeOrderedAndProject), division done on
+      the k collected rows.
+    * k=None (the reference's k=∞ evaluation path), no blend: scalar max agg
+      (one job), then the division is applied DISTRIBUTEDLY and the sorted
+      result is returned unmaterialized — the caller's action re-runs the
+      (term-pruned) scoring scan; two distributed passes, zero driver
+      materialization (`OkapiBM25P.java:90-99` is also two passes).
+    * blend: result-set pagerank max forces the persisted two-pass plan;
+      bounded k collects k rows, k=None localCheckpoints (distributed
+      materialization) so the persisted parents can be released."""
     if pagerank_weight == 0.0:
-        topk = raw_scores.orderBy(F.desc("raw"), F.asc("docid"))
         if k is not None:
-            topk = topk.limit(k)
-        rows = topk.collect()
-        if not rows:
+            rows = (
+                raw_scores.orderBy(F.desc("raw"), F.asc("docid"))
+                .limit(k)
+                .collect()
+            )
+            if not rows:
+                return spark.createDataFrame([], TOPK_SCHEMA)
+            max_raw = rows[0]["raw"]  # global max: sort desc, row 1 survives
+            if max_raw <= 0.0:
+                # the reference's running max starts at 0 and is forced to 1
+                # when nothing exceeds it (OkapiBM25P.java:91-94, VSM.java:113-116)
+                max_raw = 1.0
+            return spark.createDataFrame(
+                [(r["docid"], r["raw"] / max_raw) for r in rows], TOPK_SCHEMA
+            )
+        max_raw = raw_scores.agg(F.max("raw")).head()[0]
+        if max_raw is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
-        max_raw = rows[0]["raw"]  # global max: sort is desc and row 1 survives
         if max_raw <= 0.0:
-            # the reference's running max starts at 0 and is forced to 1 when
-            # nothing exceeds it (OkapiBM25P.java:91-94, VSM.java:113-116)
             max_raw = 1.0
-        return spark.createDataFrame(
-            [(r["docid"], r["raw"] / max_raw) for r in rows], TOPK_SCHEMA
+        return (
+            raw_scores.select(
+                "docid", (F.col("raw") / F.lit(max_raw)).alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("docid"))
         )
 
     raw_scores = raw_scores.persist()
+    scored = None
     try:
         max_raw = raw_scores.agg(F.max("raw")).head()[0]
         if max_raw is None:
             return spark.createDataFrame([], TOPK_SCHEMA)
         if max_raw <= 0.0:
             max_raw = 1.0
-        scored = raw_scores.withColumn("score", F.col("raw") / F.lit(max_raw))
 
         pr = tables.pagerank(spark)
-        scored = scored.join(pr, "docid", "left").withColumn(
-            "pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0))
+        scored = (
+            raw_scores.withColumn("score", F.col("raw") / F.lit(max_raw))
+            .join(pr, "docid", "left")
+            .withColumn("pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0)))
+            .persist()
         )
-        scored = scored.persist()
         max_pr = scored.agg(F.max("pagerank")).head()[0]
         if not max_pr or max_pr == 0.0:
             max_pr = 1.0
-        scored = scored.withColumn(
-            "score",
-            F.col("score") * F.lit(1.0 - pagerank_weight)
-            + (F.col("pagerank") / F.lit(max_pr)) * F.lit(pagerank_weight),
-        )
-
-        topk = scored.select("docid", "score").orderBy(
-            F.desc("score"), F.asc("docid")
+        final = (
+            scored.withColumn(
+                "score",
+                F.col("score") * F.lit(1.0 - pagerank_weight)
+                + (F.col("pagerank") / F.lit(max_pr)) * F.lit(pagerank_weight),
+            )
+            .select("docid", "score")
+            .orderBy(F.desc("score"), F.asc("docid"))
         )
         if k is not None:
-            topk = topk.limit(k)
-        rows = topk.collect()
-        return spark.createDataFrame(rows, TOPK_SCHEMA) if rows else spark.createDataFrame([], TOPK_SCHEMA)
+            rows = final.limit(k).collect()
+            return (
+                spark.createDataFrame(rows, TOPK_SCHEMA)
+                if rows
+                else spark.createDataFrame([], TOPK_SCHEMA)
+            )
+        # k=None: distributed materialization, then parents can be released
+        return final.localCheckpoint()
     finally:
+        if scored is not None:
+            scored.unpersist()
         raw_scores.unpersist()
 
 
@@ -253,6 +292,7 @@ def bm25_topk_wand(
     k: int = 10,
     config: EngineConfig | None = None,
     stats: dict | None = None,
+    pagerank_weight: float | None = None,
 ) -> DataFrame:
     """Block-max WAND BM25+ top-k — rank-identical to :func:`bm25_topk`, but
     prunes posting blocks by metadata before any decode work.
@@ -277,11 +317,26 @@ def bm25_topk_wand(
 
     Any pruned doc scores ≤ UB(group) < θ ≤ true k-th score, so the result —
     including the max-normalization constant, whose argmax doc always survives
-    — is identical to the exhaustive path (property-tested)."""
+    — is identical to the exhaustive path (property-tested).
+
+    WAND pruning is only sound for the PURE BM25 score: a PageRank blend
+    re-ranks by a quantity the block-max bound does not dominate. With a
+    non-zero ``pagerank_weight`` (explicit or from config) this routes to the
+    exhaustive plan, keeping results identical to :func:`bm25_topk`."""
     config = config or tables.config
+    if pagerank_weight is None:
+        pagerank_weight = config.pagerank_weight
     pq = prepare_query(spark, tables, query, config)
     if not pq.terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    if pagerank_weight != 0.0:
+        if stats is not None:
+            stats["fallback"] = "exhaustive_pagerank_blend"
+        posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
+        return _finalize(
+            spark, tables, _bm25_raw(spark, posting, pq, config), k,
+            pagerank_weight,
+        )
     if sum(pq.dfs) < config.wand_min_postings:
         # tiny candidate set: pruning overhead > decode cost — exhaustive
         if stats is not None:

@@ -24,6 +24,18 @@ Streaming via ``foreachBatch`` (`start_ingest_stream`): the stream is the
 delivery mechanism, the batch hook is the indexing transaction — idempotent
 per batch via the ingested-batch manifest, which is exactly the Spark-
 recommended pattern for exactly-once sinks over availableNow/trigger streams.
+
+Crash safety (exactly-once regardless of where a failure lands): every
+table append for batch B goes through a staging dir and is moved into the
+live dir under the deterministic file prefix ``b<B>-`` (a poor-man's Iceberg
+snapshot: the prefix identifies the batch's data files). On replay of a
+batch that never reached the commit record, `_rollback_batch` first deletes
+every ``b<B>-`` file from every table — so the url anti-join and the docid
+assignment always run against COMMITTED state only, partial appends can
+never leak, and docids are identical across replay attempts. The
+ingested-batch manifest write is the commit point; the derived
+vocabulary/collection_stats swaps are idempotent recomputations that a
+replay simply redoes.
 """
 
 from __future__ import annotations
@@ -69,6 +81,56 @@ def _record_ingested(index_dir: str, batch_id: int) -> None:
         json.dump(sorted(done), f)
 
 
+_APPENDED_TABLES = ("doc_ids", "doc_stats", "postings")
+
+
+def _batch_prefix(batch_id: int) -> str:
+    return f"b{batch_id:012d}-"
+
+
+def _rollback_batch(index_dir: str, batch_id: int) -> None:
+    """Delete every file a previous (crashed, uncommitted) attempt of this
+    batch moved into the live tables — replay then starts from committed
+    state only."""
+    prefix = _batch_prefix(batch_id)
+    for name in _APPENDED_TABLES:
+        live = os.path.join(index_dir, name)
+        if not os.path.isdir(live):
+            continue
+        for f in os.listdir(live):
+            if f.startswith(prefix):
+                os.remove(os.path.join(live, f))
+
+
+def _append_batch_files(
+    df: DataFrame, index_dir: str, name: str, batch_id: int | None
+) -> None:
+    """Append ``df`` to the live table. With a batch id: write to a staging
+    dir, then move the part-files into the live dir under the batch's file
+    prefix (idempotent together with `_rollback_batch`). Without one (ad-hoc
+    direct calls): plain append — replay semantics need foreachBatch ids."""
+    live = os.path.join(index_dir, name)
+    if batch_id is None:
+        df.write.mode("append").parquet(live)
+        df.sparkSession.catalog.refreshByPath(live)
+        return
+    import shutil
+
+    staging = os.path.join(index_dir, f"_staging_{name}_b{batch_id}")
+    df.write.mode("overwrite").parquet(staging)
+    prefix = _batch_prefix(batch_id)
+    for f in os.listdir(staging):
+        if f.startswith("part-"):
+            os.rename(
+                os.path.join(staging, f), os.path.join(live, prefix + f)
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    # out-of-band file moves are invisible to any relation the session has
+    # cached for this path (CacheManager substitutes cached plans by path) —
+    # refresh makes every existing/cached reader see the appended files
+    df.sparkSession.catalog.refreshByPath(live)
+
+
 def ingest_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -90,6 +152,11 @@ def ingest_batch(
         if batch_id is not None:
             _record_ingested(index_dir, batch_id)
         return tables
+
+    if batch_id is not None:
+        # replay of an uncommitted attempt: drop its partial appends so the
+        # anti-join + docid assignment below see committed state only
+        _rollback_batch(index_dir, batch_id)
 
     stats = dict(tables.collection_stats(spark))
     max_docid = tables.doc_ids(spark).agg(F.max("docid")).head()[0] or 0
@@ -115,15 +182,16 @@ def ingest_batch(
             return tables
 
         def append(df: DataFrame, name: str) -> None:
-            df.write.mode("append").parquet(os.path.join(index_dir, name))
-
-        append(docs.select("docid", "url"), "doc_ids")
+            _append_batch_files(df, index_dir, name, batch_id)
 
         tokens = tokenize(docs, config).persist()
         try:
             blocks = build_postings_blocks(tokens, config)
             append(blocks, "postings")
             append(doc_stats_table(tokens, int(stats["n_docs"]) + n_new), "doc_stats")
+            # doc_ids last: it gates the url anti-join, so committed-looking
+            # docs always have their postings/doc_stats already in place
+            append(docs.select("docid", "url"), "doc_ids")
         finally:
             tokens.unpersist()
 
@@ -146,7 +214,7 @@ def ingest_batch(
         cs.write.mode("overwrite").parquet(
             os.path.join(index_dir, "collection_stats_next")
         )
-        _swap(index_dir, "collection_stats")
+        _swap(index_dir, "collection_stats", spark)
 
         vocab = (
             spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -156,8 +224,8 @@ def ingest_batch(
         vocab.write.mode("overwrite").parquet(
             os.path.join(index_dir, "vocabulary_next")
         )
-        _swap(index_dir, "vocabulary")
-        tables._cs_cache = None  # invalidate the per-handle stats cache
+        _swap(index_dir, "vocabulary", spark)
+        tables.refresh()  # drop every per-handle cache (tables changed)
         if batch_id is not None:
             _record_ingested(index_dir, batch_id)
         return tables
@@ -165,11 +233,12 @@ def ingest_batch(
         docs.unpersist()
 
 
-def _swap(index_dir: str, name: str) -> None:
+def _swap(index_dir: str, name: str, spark: SparkSession | None = None) -> None:
     """Atomic-ish replace of a small table: write `<name>_next`, then rename.
 
     (On a real lakehouse this is an Iceberg snapshot commit; for the parquet
-    sandbox a directory swap keeps readers from seeing a half-written table.)"""
+    sandbox a directory swap keeps readers from seeing a half-written table.)
+    With a session, refreshes any cached relation pointing at the path."""
     import shutil
 
     cur, nxt = os.path.join(index_dir, name), os.path.join(index_dir, name + "_next")
@@ -181,6 +250,8 @@ def _swap(index_dir: str, name: str) -> None:
     os.rename(nxt, cur)
     if os.path.exists(old):
         shutil.rmtree(old)
+    if spark is not None:
+        spark.catalog.refreshByPath(cur)
 
 
 def compact_index(
@@ -203,7 +274,8 @@ def compact_index(
         build_postings_blocks(tokens, config),
         os.path.join(index_dir, "postings_next"),
     )
-    _swap(index_dir, "postings")
+    _swap(index_dir, "postings", spark)
+    tables.refresh()  # the cached postings frame points at replaced files
 
     # exact doc_stats against the CURRENT global DF (max_tf = per-doc max TF)
     n_docs = int(tables.collection_stats(spark)["n_docs"])
@@ -215,7 +287,8 @@ def compact_index(
     stats.write.mode("overwrite").parquet(
         os.path.join(index_dir, "doc_stats_next")
     )
-    _swap(index_dir, "doc_stats")
+    _swap(index_dir, "doc_stats", spark)
+    tables.refresh()
     return tables
 
 

@@ -1,8 +1,11 @@
 """Query-expansion (E1-E3) semantics + Spark/oracle parity.
 
-The E3 filter chain (`Search.java:241-269`): multiword expansions dropped,
-≤2 kept per original token, dedup vs already-emitted terms, expansion weight
-0.5, normalize chain applied to expansions as to originals.
+The E3 filter chain (`Search.java:241-269`): per token the candidate list is
+[original, expansions...]; stopword + multiword candidates dropped; at most
+TWO terms kept per token INCLUDING the original (termCount counts the
+original, `Search.java:264-266`); dedup only vs the immediately preceding
+emitted term (`Search.java:260`); stopword ORIGINALS are skipped entirely by
+the expanders (`GloVe.java:60-62`); expansion weight 0.5.
 """
 
 import pytest
@@ -31,28 +34,54 @@ def test_no_expander_equals_plain_analyze():
 def test_expansion_weight_and_cap():
     exp = SynonymTableExpander({"web": ["net", "online", "internet", "www"]})
     got = expand_query("web", exp, use_stemmer=False)
-    # cap at 2 expansions, weight 0.5
-    assert got == [("web", 1.0), ("net", 0.5), ("online", 0.5)]
+    # termCount counts the ORIGINAL too and breaks at 2 (Search.java:264-266):
+    # at most ONE expansion survives per token
+    assert got == [("web", 1.0), ("net", 0.5)]
 
 
 def test_multiword_expansions_dropped():
     exp = SynonymTableExpander({"web": ["world wide web", "net", "the net", "www"]})
     got = expand_query("web", exp, use_stemmer=False)
-    assert got == [("web", 1.0), ("net", 0.5), ("www", 0.5)]
+    # multiword candidates are dropped BEFORE counting (Search.java:250-253),
+    # so "net" still makes it in as the single kept expansion
+    assert got == [("web", 1.0), ("net", 0.5)]
 
 
-def test_expansion_dedup_vs_previous_terms():
+def test_expansion_dedup_vs_last_emitted_only():
     exp = SynonymTableExpander({"web": ["search", "net"], "search": ["web", "find"]})
     got = expand_query("web search", exp, use_stemmer=False)
-    # dedup applies to EXPANSIONS only: "web" as an expansion of "search" is
-    # dropped (already seen), but "search" as an original is always emitted —
-    # mergeTerms (A9) then sums its weights (0.5 expansion + 1.0 original)
+    # dedup is only vs the LAST emitted term (newQuery.get(size-1),
+    # Search.java:260): "web" as an expansion of "search" is NOT suppressed
+    # (last emitted at that point is "search"); mergeTerms (A9) then sums
     assert got == [
-        ("web", 1.0), ("search", 0.5), ("net", 0.5),
-        ("search", 1.0), ("find", 0.5),
+        ("web", 1.0), ("search", 0.5),
+        ("search", 1.0), ("web", 0.5),
     ]
     merged = oracle.merge_terms(got)
-    assert ("search", 1.5) in merged
+    assert ("search", 1.5) in merged and ("web", 1.5) in merged
+
+
+def test_expansion_duplicate_allowed_when_not_adjacent():
+    # the same expansion may appear under two tokens — dedup never looks
+    # further back than one emitted term
+    exp = SynonymTableExpander({"web": ["net"], "site": ["net"]})
+    got = expand_query("web site", exp, use_stemmer=False)
+    assert got == [("web", 1.0), ("net", 0.5), ("site", 1.0), ("net", 0.5)]
+
+
+def test_expansion_adjacent_duplicate_suppressed():
+    exp = SynonymTableExpander({"web": ["web", "net"]})
+    got = expand_query("web", exp, use_stemmer=False)
+    # candidate "web" equals the last emitted term -> skipped; "net" kept
+    assert got == [("web", 1.0), ("net", 0.5)]
+
+
+def test_stopword_original_drops_expansions_too():
+    # GloVe.java:60-62 / WordNet.java:72-74: a stopword original never emits
+    # its candidate list at all
+    exp = SynonymTableExpander({"the": ["thesis", "theta"], "web": ["net"]})
+    got = expand_query("the web", exp, use_stemmer=False)
+    assert got == [("web", 1.0), ("net", 0.5)]
 
 
 def test_expansion_normalized_like_originals():
