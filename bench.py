@@ -75,10 +75,24 @@ def main() -> None:
             t0 = time.time()
             q.bm25_topk(spark, tables, text, k=20).collect()
             timings[f"bm25_q{i}"] = time.time() - t0
+        # WAND with the PRODUCTION threshold: below the measured crossover
+        # (BENCH/wand_crossover.json) queries route to the exhaustive plan;
+        # the per-query fallback flag is recorded so the report shows which
+        # path actually ran (pruned vs fallback)
+        from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
+
+        wand_cfg = GATE_CONFIG.with_(
+            wand_min_postings=EngineConfig().wand_min_postings
+        )
+        wand_paths = {}
         for i, text in enumerate(BM25_QUERIES, 1):
+            stats: dict = {}
             t0 = time.time()
-            q.bm25_topk_wand(spark, tables, text, k=20).collect()
+            q.bm25_topk_wand(
+                spark, tables, text, k=20, config=wand_cfg, stats=stats
+            ).collect()
             timings[f"wand_q{i}"] = time.time() - t0
+            wand_paths[f"wand_q{i}"] = stats.get("fallback", "wand")
         t0 = time.time()
         q.vsm_topk(spark, tables, BM25_QUERIES[0], k=20).collect()
         timings["vsm_q1"] = time.time() - t0
@@ -125,6 +139,7 @@ def main() -> None:
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "bm25_p50_sec": round(bm25_times[len(bm25_times) // 2], 3),
         "wand_p50_sec": round(wand_times[len(wand_times) // 2], 3),
+        "wand_paths": wand_paths,
     }
     print(json.dumps(result))
 

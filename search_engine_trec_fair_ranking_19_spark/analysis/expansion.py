@@ -87,6 +87,98 @@ class WordNetExpander:
         )
 
 
+def mine_synonym_table(
+    tokens,
+    vocabulary,
+    n_docs: int,
+    top_k: int = 3,
+    min_pair_count: int = 2,
+    max_terms_per_doc: int | None = None,
+):
+    """Corpus-mined synonym candidates — the E1 (GloVe) stand-in with ZERO
+    external artifacts: document-level co-occurrence PMI over the engine's
+    own token/vocabulary tables.
+
+    ``tokens`` is a (docid, term) DataFrame (one row per distinct pair, e.g.
+    decoded postings); ``vocabulary`` is (term, df). For each term the top_k
+    partners by ``pmi = ln(pairs·N / (df_a·df_b))`` (ties broken by partner
+    term asc — deterministic cross-engine) become its expansion candidates,
+    PMI-descending, exactly what `SynonymTableExpander` consumes.
+
+    Scale note: the per-document self-join is O(distinct-terms²) per doc —
+    at web scale pass ``max_terms_per_doc`` to keep only each document's
+    top-TF terms before pairing (the standard co-occurrence-mining cap), and
+    raise ``min_pair_count`` so the pair aggregation's long tail dies in the
+    partial agg.
+
+    Returns (term, rank, synonym, pmi) with rank 1..top_k.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = tokens.select("docid", "term")
+    if max_terms_per_doc is not None:
+        w_doc = Window.partitionBy("docid").orderBy(
+            F.desc("tf"), F.asc("term")
+        )
+        t = (
+            tokens.withColumn("__r", F.row_number().over(w_doc))
+            .filter(F.col("__r") <= max_terms_per_doc)
+            .select("docid", "term")
+        )
+    pairs = (
+        t.select("docid", F.col("term").alias("ta"))
+        .join(t.select("docid", F.col("term").alias("tb")), "docid")
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_pair_count)
+    )
+    pmi = (
+        pairs.join(
+            vocabulary.select(F.col("term").alias("ta"), F.col("df").alias("dfa")),
+            "ta",
+        )
+        .join(
+            vocabulary.select(F.col("term").alias("tb"), F.col("df").alias("dfb")),
+            "tb",
+        )
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("c") * F.lit(float(n_docs)) / (F.col("dfa") * F.col("dfb"))
+            ),
+        )
+    )
+    w = Window.partitionBy("ta").orderBy(F.desc("pmi"), F.asc("tb"))
+    return (
+        pmi.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("ta").alias("term"),
+            "rank",
+            F.col("tb").alias("synonym"),
+            "pmi",
+        )
+    )
+
+
+def expander_from_mined(syn_df, terms: list[str]) -> "SynonymTableExpander":
+    """Collect the mined candidates for the given (few) query tokens into a
+    `SynonymTableExpander` — driver-side and bounded by len(terms)·top_k."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        syn_df.filter(F.col("term").isin(terms))
+        .orderBy("term", "rank")
+        .collect()
+    )
+    table: dict[str, list[str]] = {}
+    for r in rows:
+        table.setdefault(r["term"], []).append(r["synonym"])
+    return SynonymTableExpander(table)
+
+
 def expand_query(
     query: str,
     expander: QueryExpander | None,

@@ -91,3 +91,94 @@ def tf_map(
 ) -> dict[str, int]:
     """Per-document term→TF map (`S2TextualEntryTokens.createTFMap:29-76`)."""
     return dict(Counter(analyze_text(text, use_stemmer, use_stopwords)))
+
+
+def tf_batch(texts, use_stemmer: bool = True, use_stopwords: bool = True):
+    """Vectorized batch analyzer: token-identical to per-doc :func:`tf_map`
+    but ~an order of magnitude faster for the index build's hot path.
+
+    Why it's fast: the raw split stays C-level (`str.translate` + `split`),
+    then `normalize_token` runs once per DISTINCT raw token in the batch —
+    Zipf-distributed text makes the distinct set tiny relative to the token
+    stream — and the per-(doc, term) counting is a single `np.unique` over an
+    int64 key (no per-token Python). Parity with `tf_map` is by construction:
+    the same split and the same pure `normalize_token` produce the same
+    multiset of (doc, term) pairs (pinned by tests/test_analysis.py).
+
+    Returns (doc_idx, term, tf, dl, max_tf) as numpy arrays, one row per
+    (document, normalized term): doc_idx indexes into ``texts``; dl/max_tf
+    are that document's token count / max TF (repeated per row).
+    """
+    import numpy as np
+
+    doc_idx, term_codes, terms, tf, dl, mtf = tf_batch_coded(
+        texts, use_stemmer, use_stopwords
+    )
+    return doc_idx, np.asarray(terms, dtype=object)[term_codes], tf, dl, mtf
+
+
+def tf_batch_coded(texts, use_stemmer: bool = True, use_stopwords: bool = True):
+    """Like :func:`tf_batch` but dictionary-coded: returns
+    (doc_idx, term_codes, terms, tf, dl, max_tf) where ``terms`` is the
+    per-batch distinct normalized-term dictionary and ``term_codes`` indexes
+    into it — the shape Arrow DictionaryArrays want, so the Spark tokenizer
+    never materializes one Python string per output row."""
+    import numpy as np
+    import pandas as pd
+
+    toks_per_doc = [
+        (t.translate(_TEXT_TRANS).split() if t else []) for t in texts
+    ]
+    n_tok = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, object),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+    if int(n_tok.sum()) == 0:
+        return empty
+    flat = np.array(
+        [tok for toks in toks_per_doc for tok in toks], dtype=object
+    )
+    # hash-based factorize (C): np.unique on object arrays falls back to
+    # Python-level string comparisons and is ~10x slower
+    inv, uniq = pd.factorize(flat)
+    normed = np.array(
+        [normalize_token(u, use_stemmer, use_stopwords) for u in uniq],
+        dtype=object,
+    )
+    # factorize: None (stopword-dropped) → -1; distinct normalized terms coded
+    codes, terms = pd.factorize(normed, use_na_sentinel=True)
+    if len(terms) == 0:
+        return empty
+    tok_codes = codes[inv]
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_tok)
+    mask = tok_codes >= 0
+    if not mask.any():
+        return empty
+    key = doc_idx[mask] * np.int64(len(terms)) + tok_codes[mask]
+    # hash-factorize + bincount beats sort-based np.unique; first-appearance
+    # order keeps keys grouped by doc (doc_idx is nondecreasing), which the
+    # reduceat below relies on
+    kcodes, ukey = pd.factorize(key)
+    tf = np.bincount(kcodes)
+    out_doc = (ukey // len(terms)).astype(np.int64)
+    out_code = (ukey % len(terms)).astype(np.int64)
+    # per-doc dl / max_tf over the doc-grouped runs of ukey
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(out_doc)) + 1))
+    dl_per_run = np.add.reduceat(tf, starts)
+    mtf_per_run = np.maximum.reduceat(tf, starts)
+    run_id = np.zeros(len(out_doc), dtype=np.int64)
+    run_id[starts[1:]] = 1
+    run_id = np.cumsum(run_id)
+    return (
+        out_doc,
+        out_code,
+        np.asarray(terms, dtype=object),
+        tf.astype(np.int64),
+        dl_per_run[run_id],
+        mtf_per_run[run_id],
+    )

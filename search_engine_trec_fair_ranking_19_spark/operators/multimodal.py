@@ -47,6 +47,19 @@ def fake_feature_extractor(media: bytes, media_type: str) -> np.ndarray:
     return (raw / np.float64(2**32)).astype(np.float32)
 
 
+def sha_feature_extractor(media: bytes, media_type: str) -> np.ndarray:
+    """Deterministic extractor whose output an ANSI-SQL engine can replicate
+    exactly: feature i = first 6 hex chars of the i-th 8-char chunk of
+    sha256(media), as a 24-bit fraction. 24 bits fit a float32 mantissa
+    exactly, so the stored float equals the double both engines compute —
+    the correctness gate uses this to verify the whole mapInPandas media
+    path (schema, batching, vector output) against a DuckDB oracle
+    (`sha256(text)` + hex-cast arithmetic)."""
+    h = hashlib.sha256(media).hexdigest()
+    vals = [int(h[i * 8 : i * 8 + 6], 16) / float(1 << 24) for i in range(8)]
+    return np.array(vals, dtype=np.float32)
+
+
 def extract_features(
     media_df: DataFrame,
     decoder: Callable[[bytes, str], np.ndarray] = real_decode,

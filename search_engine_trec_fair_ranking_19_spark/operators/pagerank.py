@@ -111,17 +111,64 @@ def graph_stats(
     )
 
 
+def degree_histograms(
+    spark: SparkSession, tables: IndexTables, links: DataFrame
+) -> DataFrame:
+    """A10 — in/out degree distributions of the cleaned citations graph
+    (`CitationsGraph.calculateGraphStats` also emits degree histograms,
+    `CitationsGraph.java:81-562`). Returns (direction, degree, n_nodes) rows
+    including the degree-0 bucket (sinks / never-cited docs); plain groupBy
+    aggregations — two shuffles on bounded keys."""
+    doc_ids = tables.doc_ids(spark)
+    n_nodes = doc_ids.count()
+    edges = build_edges(spark, tables, links).persist()
+    try:
+        rows = []
+        for direction, key in (("out", "src"), ("in", "dst")):
+            deg = edges.groupBy(key).agg(F.count(F.lit(1)).alias("degree"))
+            hist = (
+                deg.groupBy("degree")
+                .agg(F.count(F.lit(1)).alias("n_nodes"))
+                .withColumn("direction", F.lit(direction))
+            )
+            n_zero = n_nodes - deg.count()
+            zero = spark.createDataFrame(
+                [(direction, 0, n_zero)], "direction string, degree long, n_nodes long"
+            ).filter(F.col("n_nodes") > 0)
+            rows.append(hist.select("direction", "degree", "n_nodes").union(zero))
+        out = rows[0].union(rows[1])
+        return out
+    finally:
+        edges.unpersist()
+
+
 def pagerank_table(
     spark: SparkSession,
     tables: IndexTables,
     links: DataFrame,
     write: bool = True,
+    max_iters: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Compute PageRank and (optionally) persist it as the `pagerank` table
     (P3's DOCUMENTS_META writeback becomes a standalone (docid, pagerank)
-    table). Returns the final (docid, pagerank) DataFrame."""
+    table). Returns the final (docid, pagerank) DataFrame.
+
+    Cost per iteration is ONE distributed materialization (the
+    localCheckpoint of the new rank frame, which carries |Δ| and an is_sink
+    flag inline) plus ONE scalar agg reading that checkpoint — max|Δ| for
+    the convergence test AND the NEXT iteration's sink mass come out of the
+    same pass. (The previous shape ran a separate sink-mass agg and a
+    rank-join delta agg per iteration — double the passes; at 10^12 nodes x
+    45 iterations that's real money.)
+
+    ``max_iters``/``threshold`` override the config — a negative threshold
+    pins an exact iteration count (used by the correctness gate, whose
+    DuckDB oracle unrolls the same fixed number of iterations)."""
     cfg = tables.config
-    d, eps = cfg.pagerank_damping, cfg.pagerank_threshold
+    d = cfg.pagerank_damping
+    eps = cfg.pagerank_threshold if threshold is None else threshold
+    n_iters_max = cfg.pagerank_max_iters if max_iters is None else max_iters
     t0 = time.time()
 
     nodes = tables.doc_ids(spark).select("docid").localCheckpoint()
@@ -132,17 +179,27 @@ def pagerank_table(
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # pre-join degree onto edges once; reused every iteration
     edges_deg = edges.join(out_deg, "src").localCheckpoint()
-    sink_nodes = nodes.join(
-        out_deg.select(F.col("src").alias("docid")), "docid", "left_anti"
-    ).localCheckpoint()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
-    iters = 0
-    for _ in range(cfg.pagerank_max_iters):
-        iters += 1
-        sink_mass = (
-            sink_nodes.join(ranks, "docid").agg(F.sum("rank")).head()[0] or 0.0
+    ranks = (
+        nodes.join(
+            out_deg.select(F.col("src").alias("docid"), F.lit(True).alias("__has_out")),
+            "docid",
+            "left",
         )
+        .select(
+            "docid",
+            F.col("__has_out").isNull().alias("is_sink"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    sink_mass = (
+        ranks.agg(F.sum(F.when(F.col("is_sink"), F.col("rank")))).head()[0]
+        or 0.0
+    )
+    iters = 0
+    for _ in range(n_iters_max):
+        iters += 1
         contrib = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["docid"])
             .select(
@@ -152,27 +209,29 @@ def pagerank_table(
             .groupBy("docid")
             .agg(F.sum("c").alias("in_sum"))
         )
+        new_rank = (
+            F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(sink_mass / n)
+        ) * F.lit(d) + F.lit(teleport)
         new_ranks = (
-            nodes.join(contrib, "docid", "left")
+            ranks.select("docid", "is_sink", F.col("rank").alias("__old"))
+            .join(contrib, "docid", "left")
             .select(
                 "docid",
-                (
-                    (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(sink_mass / n))
-                    * F.lit(d)
-                    + F.lit(teleport)
-                ).alias("rank"),
+                "is_sink",
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("__old")).alias("__delta"),
             )
             .localCheckpoint()
         )
-        max_delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "docid")
-            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .head()[0]
-        )
+        agg = new_ranks.agg(
+            F.max("__delta"),
+            F.sum(F.when(F.col("is_sink"), F.col("rank"))),
+        ).head()
+        max_delta, sink_mass = agg[0], agg[1] or 0.0
         ranks = new_ranks
         if max_delta is not None and max_delta <= eps:
             break
+    ranks = ranks.select("docid", "rank")
 
     result = ranks.withColumnRenamed("rank", "pagerank")
     if write:

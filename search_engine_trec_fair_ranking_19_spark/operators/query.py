@@ -500,6 +500,13 @@ def existential(
     return _finalize(spark, tables, docs.select("docid", "raw"), k, 0.0)
 
 
+def result_window(topk: DataFrame, start: int, end: int) -> DataFrame:
+    """O5 — result page slice [start, end] (1-based, inclusive): the
+    `Search.printResults` paging (`Search.java:330-361`). Applies to an
+    already-ranked result frame; offset+limit keep the parent ordering."""
+    return topk.offset(start - 1).limit(end - start + 1)
+
+
 def topk_with_docs(
     spark: SparkSession, tables: IndexTables, topk: DataFrame
 ) -> DataFrame:

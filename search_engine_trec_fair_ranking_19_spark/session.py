@@ -48,6 +48,14 @@ def get_spark(
         # UDFs (tokenizer) still amortize fine.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # floor on scan splits: a bench-sized corpus (hundreds of MB) must
+        # not collapse to 3-4 scan tasks and serialize the Python tokenizer;
+        # at 100 TB the 128m byte cap dominates and this floor is moot
+        .config("spark.sql.files.minPartitionNum", str(n_threads * 3))
+        # dimension tables here (vocabulary, docid maps at bench SFs) are
+        # tens of MB — the 10MB default forces them into sort-merge joins.
+        # 64m is still executor-heap-safe; AQE re-checks actual sizes.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

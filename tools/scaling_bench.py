@@ -181,7 +181,7 @@ phase on a 47M-doc corpus, 0.92-1.26 s/query BM25.
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-one", nargs=3, metavar=("CPUS", "CORPUS", "OUT"))
-    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--docs", type=int, default=500000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     args = ap.parse_args()

@@ -1,0 +1,135 @@
+"""Measure the WAND-vs-exhaustive crossover to justify `wand_min_postings`.
+
+Block-max WAND pays a metadata pass + seed-and-prune jobs before decoding;
+that only pays off once the candidate posting volume (Σ DF over query terms)
+is large enough that the avoided decode+score work exceeds the extra job
+overhead. This bench builds indexes over growing synthetic corpora, runs the
+same queries through the forced-WAND path (`wand_min_postings=0`) and the
+exhaustive path, and reports per-size p50s plus each query's Σ DF — the
+`EngineConfig.wand_min_postings` default is picked from the smallest Σ DF
+where WAND wins.
+
+Usage: python tools/wand_crossover_bench.py [--sizes 125000 500000 2000000]
+Writes BENCH/wand_crossover.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "web search engine rank",
+    "index partition shuffle data",
+    "running quickly computing",
+    "crawl text token corpus",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sizes", type=int, nargs="+", default=[125000, 500000, 2000000]
+    )
+    ap.add_argument("--trials", type=int, default=2)
+    args = ap.parse_args()
+
+    from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
+    from search_engine_trec_fair_ranking_19_spark.operators import query as q
+    from search_engine_trec_fair_ranking_19_spark.operators.index_build import (
+        build_index,
+    )
+    from search_engine_trec_fair_ranking_19_spark.session import get_spark
+    from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
+        corpus_spark_distributed,
+    )
+
+    spark = get_spark(
+        app_name="wand-crossover",
+        extra_conf=(
+            {"spark.local.dir": "/dev/shm/spark-local"}
+            if os.path.isdir("/dev/shm")
+            else None
+        ),
+    )
+    results = []
+    for n_docs in args.sizes:
+        corpus_path = os.path.join(
+            tempfile.gettempdir(), f"scaling_corpus_{n_docs}.parquet"
+        )
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+            corpus_spark_distributed(spark, n_docs, seed=123).write.mode(
+                "overwrite"
+            ).parquet(corpus_path)
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"wand_idx_{n_docs}"
+        )
+        cfg = EngineConfig()
+        tables = build_index(
+            spark, spark.read.parquet(corpus_path), index_dir, cfg, resume=True
+        )
+        forced = cfg.with_(wand_min_postings=0)
+        q.bm25_topk(spark, tables, "warm up", k=10)  # worker warm-up
+
+        per_query = []
+        for text in QUERIES:
+            pq = q.prepare_query(spark, tables, text, cfg)
+            sum_df = int(sum(pq.dfs))
+            ex_t, wd_t = [], []
+            for _ in range(args.trials):
+                t0 = time.time()
+                q.bm25_topk(spark, tables, text, k=10).collect()
+                ex_t.append(time.time() - t0)
+                stats: dict = {}
+                t0 = time.time()
+                q.bm25_topk_wand(
+                    spark, tables, text, k=10, config=forced, stats=stats
+                ).collect()
+                wd_t.append(time.time() - t0)
+            per_query.append(
+                {
+                    "query": text,
+                    "sum_df": sum_df,
+                    "exhaustive_sec": round(min(ex_t), 3),
+                    "wand_sec": round(min(wd_t), 3),
+                    "wand_wins": min(wd_t) < min(ex_t),
+                    "blocks_total": stats.get("n_blocks_total"),
+                    "blocks_survived": stats.get("n_blocks_survived"),
+                }
+            )
+        results.append({"n_docs": n_docs, "queries": per_query})
+        print(json.dumps(results[-1]))
+
+    # crossover: smallest sum_df where WAND won
+    wins = sorted(
+        pq["sum_df"]
+        for r in results
+        for pq in r["queries"]
+        if pq["wand_wins"]
+    )
+    crossover = wins[0] if wins else None
+    out = {
+        "results": results,
+        "crossover_sum_df": crossover,
+        "note": (
+            "EngineConfig.wand_min_postings default should sit at/below the "
+            "smallest winning sum_df so real queries route to WAND only "
+            "where pruning pays"
+        ),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/wand_crossover.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"crossover_sum_df": crossover}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
