@@ -86,6 +86,9 @@ def cluster_session(cores_max: int, app_name: str):
 def run_one(cores_max: int, corpus_path: str, out_path: str) -> None:
     import shutil
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.scaling_bench import host_fault_mbps
+
     from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
     from search_engine_trec_fair_ranking_19_spark.operators import query as q
     from search_engine_trec_fair_ranking_19_spark.operators.index_build import (
@@ -99,8 +102,9 @@ def run_one(cores_max: int, corpus_path: str, out_path: str) -> None:
     n_docs = webtext.count()
 
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
-    build_secs, query_secs = [], []
+    build_secs, query_secs, fault_mbps = [], [], []
     for _ in range(trials):
+        fault_mbps.append(host_fault_mbps())
         index_dir = tempfile.mkdtemp(prefix=f"cluster_idx_{cores_max}_")
         try:
             t0 = time.time()
@@ -128,6 +132,7 @@ def run_one(cores_max: int, corpus_path: str, out_path: str) -> None:
                 "query_sec_total": round(query_sec, 3),
                 "query_sec_trials": [round(s, 3) for s in query_secs],
                 "query_sec_avg": round(query_sec / len(QUERIES), 3),
+                "host_fault_mbps_trials": fault_mbps,
             },
             f,
         )
