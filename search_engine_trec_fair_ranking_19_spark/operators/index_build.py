@@ -176,7 +176,21 @@ def url_rank_ids(
     spark = urls.sparkSession
     if num_ranges is None:
         num_ranges = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = urls.select("url").repartitionByRange(num_ranges, "url")
+    # CORRECTNESS-CRITICAL: materialize the range partitioning ONCE.
+    # repartitionByRange SAMPLES per compiled job (seeded by RDD id), so the
+    # counts job and the row_number job would otherwise see DIFFERENT range
+    # boundaries — rows near a boundary get counted in partition p but
+    # ranked in p±1, silently producing duplicate and skipped docids (~3%
+    # of docids collided at 500k urls before this fix; small corpora sample
+    # exhaustively, so the correctness gate never saw it). localCheckpoint
+    # severs the lineage: every downstream job reads the SAME materialized
+    # partitions and resampling is impossible. (On a real cluster, lost
+    # checkpoint blocks fail the job rather than silently recompute — the
+    # safe failure mode; use a reliable checkpoint dir or stage the ids to a
+    # table for long-running builds.)
+    ranged = (
+        urls.select("url").repartitionByRange(num_ranges, "url").localCheckpoint()
+    )
 
     pid = F.spark_partition_id()
     counts = (

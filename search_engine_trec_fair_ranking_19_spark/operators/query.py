@@ -373,7 +373,12 @@ def bm25_topk_wand(
             )
         ).persist()
 
-        # seed: cheapest prefix of groups (by UB desc) holding ≥ k docs
+        # seed: prefix of groups (by UB desc) holding ≥ 4k docs. Overshooting
+        # k on purpose: a single coarse block's k-th best is dominated by
+        # common-term docs and yields a θ far below the true top-k floor
+        # (measured: pruning 4/1936 blocks); a few extra decoded blocks put
+        # enough high-UB docs into the seed that θ approaches the real
+        # threshold and the prune actually bites. Seed decode stays O(blocks).
         seed_rows = (
             group_ub.orderBy(F.desc("group_ub"), F.asc("block_id"))
             .select("block_id", "min_docs")
@@ -384,7 +389,7 @@ def bm25_topk_wand(
         for r in seed_rows:
             seed_ids.append(r["block_id"])
             covered += r["min_docs"]
-            if covered >= k:
+            if covered >= 4 * k:
                 break
         seed_raw = _bm25_raw(
             spark,

@@ -153,6 +153,7 @@ def corpus_spark_distributed(
     n_partitions: int | None = None,
     avgdl: float = 124.0,
     n_terms: int = 20_000,
+    hapax: bool = False,
 ):
     """Corpus generated ON THE EXECUTORS (mapInPandas over spark.range) — the
     driver-side generator tops out ~1.7k docs/s, which caps bench corpora.
@@ -161,7 +162,15 @@ def corpus_spark_distributed(
     lengths, stopword sprinkle); NOT byte-identical to the driver generator —
     each partition seeds its own rng with (seed, partition floor), so content
     is deterministic for a fixed (seed, n_docs, n_partitions). Parity tests
-    use the driver generator; this one feeds large-scale benches."""
+    use the driver generator; this one feeds large-scale benches.
+
+    ``hapax=True`` appends two document-unique tokens (``hxq<docid>a/b``) per
+    doc — the hapax-legomena tail real web text has (~40% of a web
+    vocabulary is df=1) and the closed 20k-term Zipf vocabulary lacks. At
+    bench scale the closed vocabulary's RAREST term still has df ≥ the
+    number of posting blocks, so no term is block-rare and block-max pruning
+    structurally cannot pay; the hapax tail restores the selective-query
+    regime WAND exists for (see tools/wand_crossover_bench.py)."""
     import pandas as pd
 
     if n_partitions is None:
@@ -190,6 +199,7 @@ def corpus_spark_distributed(
             bounds = np.concatenate(([0], np.cumsum(lengths)))
             texts = [
                 " ".join(words[bounds[i] : bounds[i + 1]])
+                + (f" hxq{int(ids[i])}a hxq{int(ids[i])}b" if hapax else "")
                 for i in range(len(ids))
             ]
             yield pd.DataFrame(

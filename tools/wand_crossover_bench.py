@@ -25,19 +25,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Two query classes: all-common-term queries (every block's upper bound
+# stays above the top-k threshold — pruning CANNOT pay, the fallback should
+# route them) and selective queries mixing a rare high-idf term with common
+# terms (blocks lacking the rare term bound below θ and are pruned — the
+# regime WAND exists for).
 QUERIES = [
     "web search engine rank",
     "index partition shuffle data",
     "running quickly computing",
     "crawl text token corpus",
+    "w00931 web search",
+    "w01477 index data",
+    "w00764 w01891 rank",
+    # hapax-anchored selective queries: one document-unique term + common
+    # terms — the regime where block-max pruning pays (blocks lacking the
+    # hapax term bound below the top-k floor)
+    "hxq12345a web search rank",
+    "hxq777a index data engine",
+    "hxq4242b crawl text",
 ]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--sizes", type=int, nargs="+", default=[125000, 500000, 2000000]
-    )
+    ap.add_argument("--sizes", type=int, nargs="+", default=[500000])
     ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
 
@@ -61,15 +73,19 @@ def main() -> None:
     )
     results = []
     for n_docs in args.sizes:
+        # hapax-enriched corpus: the closed Zipf vocabulary has no
+        # block-rare terms (min df >= number of blocks), which makes
+        # block-max pruning structurally unable to pay; real web text's
+        # hapax tail is the regime it exists for
         corpus_path = os.path.join(
-            tempfile.gettempdir(), f"scaling_corpus_{n_docs}.parquet"
+            tempfile.gettempdir(), f"scaling_corpus_hapax_{n_docs}.parquet"
         )
         if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-            corpus_spark_distributed(spark, n_docs, seed=123).write.mode(
-                "overwrite"
-            ).parquet(corpus_path)
+            corpus_spark_distributed(
+                spark, n_docs, seed=123, hapax=True
+            ).write.mode("overwrite").parquet(corpus_path)
         index_dir = os.path.join(
-            tempfile.gettempdir(), f"wand_idx_{n_docs}"
+            tempfile.gettempdir(), f"wand_hapax_idx_{n_docs}"
         )
         cfg = EngineConfig()
         tables = build_index(
