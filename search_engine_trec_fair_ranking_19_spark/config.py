@@ -40,9 +40,13 @@ class EngineConfig:
     # below this many candidate postings (Σ DF over query terms) the WAND
     # metadata/seed/prune passes cost more than decoding everything — fall
     # back to the exhaustive plan (0 = always run real WAND; used by tests
-    # and the correctness gate). Default picked from the measured crossover
-    # (tools/wand_crossover_bench.py → BENCH/wand_crossover.json).
-    wand_min_postings: int = 100_000
+    # and the correctness gate). Measured (tools/wand_crossover_bench.py →
+    # BENCH/wand_crossover.json): at every corpus this sandbox can build
+    # (≤2M docs, Σ DF ≤ 6M) the pruning passes' fixed job overhead (~2s)
+    # exceeds the decode work they can save, so exhaustive wins everywhere —
+    # the default routes WAND in only where decode volume is large enough
+    # (tens of millions of candidate postings) for skipping to pay.
+    wand_min_postings: int = 10_000_000
 
     # query-time vocabulary handling: up to this many terms the whole
     # vocabulary is loaded into a driver dict (the reference's query-time

@@ -158,3 +158,24 @@ def test_topk_with_docs_projection(spark, tables, oracle_index):
     inv = {d: u for u, d in oracle_index.doc_id_of_url.items()}
     for r in rows:
         assert r["url"] == inv[r["docid"]]
+
+
+def test_wand_threshold_routes_small_queries_to_exhaustive(spark, tables, oracle_index):
+    """Crossover behavior pin (BENCH/wand_crossover.json): below the
+    production wand_min_postings (Σ DF of the query terms under the measured
+    ~10M-posting crossover) bm25_topk_wand must take the exhaustive fallback
+    — and still return the identical ranking."""
+    stats = {}
+    got = q.bm25_topk_wand(
+        spark, tables, "web search", k=10,
+        config=CFG.with_(wand_min_postings=EngineConfig().wand_min_postings),
+        stats=stats,
+    )
+    assert stats.get("fallback") == "exhaustive"
+    want = oracle.bm25_topk(oracle_index, "web search", k=10)
+    _assert_matches(got, want)
+
+    # forced WAND (threshold 0) runs the real pruned path on the same query
+    stats = {}
+    q.bm25_topk_wand(spark, tables, "web search", k=10, config=CFG, stats=stats)
+    assert "fallback" not in stats and "theta" in stats
