@@ -165,13 +165,19 @@ _IDS_BROADCAST_MAX_ROWS = 10_000_000
 def url_rank_ids(
     urls: DataFrame, num_ranges: int | None = None
 ) -> tuple[DataFrame, int]:
-    """(url) → ((url, docid), n_rows) with docid = 1-based global rank of url.
+    """(url) → ((url, docid), n_distinct) with docid = 1-based global rank
+    of the DISTINCT url — the map is a bijection even when the input repeats
+    a url (crawl batches routinely do), so the join-back in
+    :func:`assign_doc_ids` can never fan out rows.
 
     Rebuild of the reference's parse-order docID (`Indexer.java:96-97,172`)
     with a data-determined order (SURVEY §1.4): rank by url, computed WITHOUT
-    a single-partition window — range partition, per-partition counts, driver
-    prefix sum, local row_number. Runs entirely on the url projection: the
-    parquet scan prunes to one column and the range shuffle moves just urls.
+    a single-partition window — range partition, per-partition distinct
+    counts, driver prefix sum, local dense_rank. Dedup costs no extra
+    exchange: a url lands in exactly one range partition, so dense_rank +
+    lag over the SAME window spec dedups and ranks in one sort. Runs
+    entirely on the url projection: the parquet scan prunes to one column
+    and the range shuffle moves just urls.
     """
     spark = urls.sparkSession
     if num_ranges is None:
@@ -194,7 +200,10 @@ def url_rank_ids(
 
     pid = F.spark_partition_id()
     counts = (
-        ranged.groupBy(pid.alias("pid")).count().orderBy("pid").collect()
+        ranged.groupBy(pid.alias("pid"))
+        .agg(F.countDistinct("url").alias("count"))
+        .orderBy("pid")
+        .collect()
     )
     offsets = {}
     running = 0
@@ -210,7 +219,9 @@ def url_rank_ids(
     w = Window.partitionBy("__pid").orderBy("url")
     ids = (
         ranged.withColumn("__pid", pid)
-        .withColumn("__local", F.row_number().over(w))
+        .withColumn("__local", F.dense_rank().over(w))
+        .withColumn("__prev", F.lag("url").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("url")))
         .select(
             "url",
             (offset_expr + F.col("__local")).cast("long").alias("docid"),
@@ -219,15 +230,33 @@ def url_rank_ids(
     return ids, running
 
 
+def _dedup_by_docid(docs: DataFrame) -> DataFrame:
+    """Keep exactly one row per docid when the input repeated a url —
+    deterministically the row with the max text (ties on text are identical
+    rows for indexing purposes: only (docid, url, text) flow downstream)."""
+    w = Window.partitionBy("docid").orderBy(F.desc_nulls_last("text"))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def assign_doc_ids(webtext: DataFrame, num_ranges: int | None = None) -> DataFrame:
     """(url, ...) → (docid, url, ...): attach the url-rank docid by joining
-    the tiny (url, docid) map back onto the corpus — broadcast while it fits
-    (`_IDS_BROADCAST_MAX_ROWS`), shuffle join beyond. The corpus rows are
-    never range-shuffled."""
+    the (now bijective) (url, docid) map back onto the corpus — broadcast
+    while it fits (`_IDS_BROADCAST_MAX_ROWS`), shuffle join beyond. The
+    corpus rows are never range-shuffled. If the input repeats a url, one
+    row per docid survives (guarded — the dedup shuffle is only paid when
+    the distinct-url count differs from the row count)."""
     ids, running = url_rank_ids(webtext, num_ranges)
     if running <= _IDS_BROADCAST_MAX_ROWS:
         ids = F.broadcast(ids)
-    return webtext.join(ids, "url")
+    joined = webtext.join(ids, "url")
+    n_rows = webtext.filter(F.col("url").isNotNull()).count()
+    if n_rows != running:
+        joined = _dedup_by_docid(joined)
+    return joined
 
 
 def tokenize(docs: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -445,6 +474,30 @@ def build_index(
     natively; on Iceberg each completed stage is additionally a catalog
     snapshot).
     """
+    from ..session import scoped_conf
+
+    # scan-split floor, scoped to THIS build: a bench-sized corpus (one
+    # parquet file < maxPartitionBytes) must not collapse to 3-4 scan tasks
+    # and serialize the Python tokenizer. Session-wide this knob taxed every
+    # sub-second scan with ~100 task launches (round-2 bench regressions);
+    # at 100 TB the 128m byte cap dominates and the floor is moot.
+    floor = max(spark.sparkContext.defaultParallelism * 3, 8)
+    with scoped_conf(
+        spark, {"spark.sql.files.minPartitionNum": str(floor)}
+    ):
+        return _build_index_impl(
+            spark, webtext, index_dir, config, resume, table_io
+        )
+
+
+def _build_index_impl(
+    spark: SparkSession,
+    webtext: DataFrame,
+    index_dir: str,
+    config: EngineConfig,
+    resume: bool,
+    table_io,
+) -> IndexTables:
     os.makedirs(index_dir, exist_ok=True)
     tables = IndexTables(index_dir, config, io=table_io)
     io = tables._io()
@@ -504,6 +557,12 @@ def build_index(
     if n_docs_assigned <= _IDS_BROADCAST_MAX_ROWS:
         ids_back = F.broadcast(ids_back)
     docs = webtext.join(ids_back, "url")
+    # duplicate urls in the corpus would attach the same docid to >1 row and
+    # double that doc's TFs — dedup to one row per docid, but only pay the
+    # window shuffle when duplicates actually exist (url-column-pruned count)
+    n_input_rows = webtext.filter(F.col("url").isNotNull()).count()
+    if n_input_rows != n_docs_assigned:
+        docs = _dedup_by_docid(docs)
 
     # ---- stage 2: tokenize → postings blocks (POSTINGS rebuild) ------------
     # ONE term-shuffle for the whole build: postings come first, vocabulary

@@ -19,7 +19,6 @@ docid; AQE handles skewed in-degree hubs).
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -235,9 +234,10 @@ def pagerank_table(
 
     result = ranks.withColumnRenamed("rank", "pagerank")
     if write:
-        result.write.mode("overwrite").parquet(
-            os.path.join(tables.path, "pagerank")
-        )
+        # through the table-IO seam: with an Iceberg backend this is a
+        # snapshot commit on the same catalog IndexTables.pagerank() reads
+        # from — a direct parquet write here would silently diverge
+        tables._io().overwrite(result, "pagerank")
         manifest = tables.manifest()
         manifest["stages"]["pagerank"] = {
             "status": "ok",

@@ -2,9 +2,31 @@
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime SQL confs for the duration of a block, then restore.
+
+    Used to scope knobs that help one pipeline but tax the rest of the
+    session (e.g. the scan-split floor build_index needs for tokenizer
+    parallelism). Restores the previous value, or unsets if none was set."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
 
 
 def get_spark(
@@ -48,10 +70,11 @@ def get_spark(
         # UDFs (tokenizer) still amortize fine.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # floor on scan splits: a bench-sized corpus (hundreds of MB) must
-        # not collapse to 3-4 scan tasks and serialize the Python tokenizer;
-        # at 100 TB the 128m byte cap dominates and this floor is moot
-        .config("spark.sql.files.minPartitionNum", str(n_threads * 3))
+        # NOTE: no session-wide spark.sql.files.minPartitionNum — a scan-split
+        # floor helps exactly one path (the Python tokenizer scan in
+        # build_index) and taxes every other small scan with ~3x-per-core task
+        # launches (measured 3-8x regressions on sub-second bench queries in
+        # round 2). build_index scopes the floor to itself via scoped_conf.
         # dimension tables here (vocabulary, docid maps at bench SFs) are
         # tens of MB — the 10MB default forces them into sort-merge joins.
         # 64m is still executor-heap-safe; AQE re-checks actual sizes.

@@ -14,10 +14,20 @@ under append-only ingestion, LSM-style:
     a from-scratch batch build over the same corpus (only docid assignment —
     and therefore tie-break order between equal scores — differs, since
     streaming docids are arrival-ordered, not global-url-ordered);
-  * `doc_stats.vsm_weight` is computed against the DF snapshot at ingest time
-    (the index-time norm is point-in-time in the reference too —
-    `Indexer.updateVSMWeights` runs once); `compact_index` recomputes it
-    exactly when called.
+  * `doc_stats.vsm_weight` is computed against the POST-INGEST global DF/N
+    snapshot (vocabulary is recomputed from the appended postings before
+    doc_stats is written). Docs from earlier batches keep the weight from
+    THEIR ingest-time snapshot, so vsm_weight is internally inconsistent
+    across batches until `compact_index` recomputes it against the current
+    global DF — the same point-in-time semantics as the reference's one-shot
+    `Indexer.updateVSMWeights`. BM25 (the headline model) never reads
+    vsm_weight and is unaffected.
+
+This layer is PARQUET-DIR-ONLY by design: its crash-safety protocol is the
+per-batch file prefix + staging rename below, i.e. it implements on plain
+directories what an Iceberg backend gets from snapshot commits natively. On
+a real lakehouse, point `start_ingest_stream` at ParquetDirIO-backed tables
+or replace the append/rollback pair with Iceberg append/rollback-snapshot.
 
 Drive it either directly per-DataFrame (`ingest_batch`) or from Structured
 Streaming via ``foreachBatch`` (`start_ingest_stream`): the stream is the
@@ -88,10 +98,15 @@ def _batch_prefix(batch_id: int) -> str:
     return f"b{batch_id:012d}-"
 
 
-def _rollback_batch(index_dir: str, batch_id: int) -> None:
+def _rollback_batch(
+    index_dir: str, batch_id: int, spark: SparkSession | None = None
+) -> None:
     """Delete every file a previous (crashed, uncommitted) attempt of this
     batch moved into the live tables — replay then starts from committed
-    state only."""
+    state only. NOTE: the derived vocabulary/collection_stats snapshots are
+    NOT rolled back; a crashed attempt may have swapped them already. They
+    are never used as inputs on replay — every replay recomputes them from
+    the (rolled-back) appended tables — so stale snapshots self-heal."""
     prefix = _batch_prefix(batch_id)
     for name in _APPENDED_TABLES:
         live = os.path.join(index_dir, name)
@@ -100,6 +115,9 @@ def _rollback_batch(index_dir: str, batch_id: int) -> None:
         for f in os.listdir(live):
             if f.startswith(prefix):
                 os.remove(os.path.join(live, f))
+        if spark is not None:
+            # out-of-band deletes are invisible to cached file listings
+            spark.catalog.refreshByPath(live)
 
 
 def _append_batch_files(
@@ -156,10 +174,20 @@ def ingest_batch(
     if batch_id is not None:
         # replay of an uncommitted attempt: drop its partial appends so the
         # anti-join + docid assignment below see committed state only
-        _rollback_batch(index_dir, batch_id)
+        _rollback_batch(index_dir, batch_id, spark)
 
     stats = dict(tables.collection_stats(spark))
-    max_docid = tables.doc_ids(spark).agg(F.max("docid")).head()[0] or 0
+    # derive N and max docid from the COMMITTED doc_ids table, never from the
+    # collection_stats snapshot: a crashed prior attempt may have swapped
+    # collection_stats with the batch already counted, and rollback does not
+    # undo that — reading n_docs from it would double-count the batch and
+    # permanently skew avgdl/IDF. doc_ids is append-last (the commit gate),
+    # so its count is exactly the committed corpus.
+    committed = tables.doc_ids(spark).agg(
+        F.count(F.lit(1)).alias("n"), F.max("docid").alias("mx")
+    ).head()
+    n_committed = int(committed["n"] or 0)
+    max_docid = committed["mx"] or 0
 
     # new docs only (idempotence against re-delivered urls), docids appended
     # past the current maximum — arrival order, rank(url) within the batch
@@ -184,22 +212,45 @@ def ingest_batch(
         def append(df: DataFrame, name: str) -> None:
             _append_batch_files(df, index_dir, name, batch_id)
 
+        n_docs = n_committed + n_new
         tokens = tokenize(docs, config).persist()
         try:
             blocks = build_postings_blocks(tokens, config)
             append(blocks, "postings")
-            append(doc_stats_table(tokens, int(stats["n_docs"]) + n_new), "doc_stats")
+
+            # recompute the global vocabulary BEFORE doc_stats: the postings
+            # table now includes this batch, so this aggregate IS the
+            # post-ingest DF snapshot — the batch's vsm_weight is computed
+            # against it. (Earlier batches keep weights from their own
+            # ingest-time N/DF — point-in-time, like the reference's
+            # one-shot updateVSMWeights; compact_index recomputes exactly.)
+            vocab = (
+                spark.read.parquet(os.path.join(index_dir, "postings"))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+            )
+            vocab.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "vocabulary_next")
+            )
+            _swap(index_dir, "vocabulary", spark)
+            vocab_now = spark.read.parquet(
+                os.path.join(index_dir, "vocabulary")
+            )
+            append(
+                doc_stats_table(tokens, n_docs, vocabulary=vocab_now),
+                "doc_stats",
+            )
             # doc_ids last: it gates the url anti-join, so committed-looking
             # docs always have their postings/doc_stats already in place
             append(docs.select("docid", "url"), "doc_ids")
         finally:
             tokens.unpersist()
 
-        # refresh the global aggregates so query-time N/avgdl/DF are current
+        # refresh collection_stats: N from committed + this batch (never
+        # from the previous snapshot — see n_committed above)
         new_total_tokens = (
             tables.doc_stats(spark).agg(F.sum("token_count")).head()[0] or 0
         )
-        n_docs = int(stats["n_docs"]) + n_new
         cs = spark.createDataFrame(
             [
                 (
@@ -215,16 +266,6 @@ def ingest_batch(
             os.path.join(index_dir, "collection_stats_next")
         )
         _swap(index_dir, "collection_stats", spark)
-
-        vocab = (
-            spark.read.parquet(os.path.join(index_dir, "postings"))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
-        vocab.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "vocabulary_next")
-        )
-        _swap(index_dir, "vocabulary", spark)
         tables.refresh()  # drop every per-handle cache (tables changed)
         if batch_id is not None:
             _record_ingested(index_dir, batch_id)

@@ -48,3 +48,49 @@ def test_docid_bijection_at_scale(spark):
     docids = [r["docid"] for r in sample]
     assert docids == sorted(docids)
     assert docids[0] == 1
+
+
+def test_duplicate_urls_collapse_to_one_docid(spark, tmp_path):
+    """Crawl batches repeat urls: the (url, docid) map must stay a bijection
+    (no join-back fan-out) and the built index must contain each url once."""
+    from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
+    from search_engine_trec_fair_ranking_19_spark.operators.index_build import (
+        assign_doc_ids,
+        build_index,
+    )
+    from search_engine_trec_fair_ranking_19_spark.operators.query import (
+        decode_blocks,
+    )
+
+    rows = [
+        (f"https://ex.org/{i:04d}", f"common tok{i} text body") for i in range(50)
+    ]
+    # duplicate a third of the urls (same text) + one conflicting-text dup
+    dup = [rows[i] for i in range(0, 50, 3)] + [("https://ex.org/0001", "alt")]
+    webtext = spark.createDataFrame(rows + dup, "url string, text string")
+
+    ids, running = __import__(
+        "search_engine_trec_fair_ranking_19_spark.operators.index_build",
+        fromlist=["url_rank_ids"],
+    ).url_rank_ids(webtext)
+    assert running == 50
+    assert ids.count() == 50
+    assert ids.select("docid").distinct().count() == 50
+
+    docs = assign_doc_ids(webtext)
+    assert docs.count() == 50, "join-back fanned out on duplicate urls"
+    # deterministic survivor for the conflicting-text dup: max(text)
+    surv = docs.filter(F.col("url") == "https://ex.org/0001").head()["text"]
+    assert surv == max("alt", "common tok1 text body")
+
+    tables = build_index(
+        spark, webtext, str(tmp_path / "idx"), EngineConfig()
+    )
+    assert tables.doc_ids(spark).count() == 50
+    toks = decode_blocks(tables.postings(spark))
+    # no doubled TFs: every (term, docid) appears exactly once
+    assert (
+        toks.groupBy("term", "docid").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    assert tables.collection_stats(spark)["n_docs"] == 50

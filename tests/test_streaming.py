@@ -121,3 +121,36 @@ def test_structured_streaming_ingest(spark, tmp_path, batch_tables):
     want = _scores_by_url(spark, batch_tables, QUERIES[0])
     got = _scores_by_url(spark, tables, QUERIES[0])
     assert got == want
+
+
+def test_crash_after_stats_swap_replay_no_double_count(
+    spark, tmp_path, monkeypatch, batch_tables
+):
+    """ADVICE r02: a crash AFTER the collection_stats swap but BEFORE the
+    commit record must not double-count the batch on replay (N/avgdl/IDF are
+    derived from committed doc_ids, never from the possibly-already-swapped
+    stats snapshot)."""
+    import search_engine_trec_fair_ranking_19_spark.streaming.incremental as inc
+
+    full = corpus_spark(spark, N, seed=77, n_partitions=4)
+    parts = [full.filter(F.abs(F.hash("url")) % 2 == i) for i in range(2)]
+    d = str(tmp_path / "crashidx")
+    ingest_batch(spark, parts[0], d, CFG, batch_id=0)
+
+    real = inc._record_ingested
+
+    def boom(index_dir, batch_id):
+        raise RuntimeError("crash before commit record")
+
+    monkeypatch.setattr(inc, "_record_ingested", boom)
+    with pytest.raises(RuntimeError):
+        ingest_batch(spark, parts[1], d, CFG, batch_id=1)
+    monkeypatch.setattr(inc, "_record_ingested", real)
+
+    tables = ingest_batch(spark, parts[1], d, CFG, batch_id=1)
+    assert int(tables.collection_stats(spark)["n_docs"]) == N
+    assert tables.doc_ids(spark).count() == N
+    for query in QUERIES:
+        want = _scores_by_url(spark, batch_tables, query)
+        got = _scores_by_url(spark, tables, query)
+        assert got == want, f"replay skewed stats for {query!r}"
