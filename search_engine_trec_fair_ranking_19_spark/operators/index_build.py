@@ -164,11 +164,14 @@ _IDS_BROADCAST_MAX_ROWS = 10_000_000
 
 def url_rank_ids(
     urls: DataFrame, num_ranges: int | None = None
-) -> tuple[DataFrame, int]:
-    """(url) → ((url, docid), n_distinct) with docid = 1-based global rank
-    of the DISTINCT url — the map is a bijection even when the input repeats
-    a url (crawl batches routinely do), so the join-back in
-    :func:`assign_doc_ids` can never fan out rows.
+) -> tuple[DataFrame, int, int]:
+    """(url) → ((url, docid), n_distinct, n_rows) with docid = 1-based global
+    rank of the DISTINCT url — the map is a bijection even when the input
+    repeats a url (crawl batches routinely do), so the join-back in
+    :func:`assign_doc_ids` can never fan out rows. ``n_rows`` (the raw input
+    row count, duplicates included) rides the same per-partition counts job —
+    callers use ``n_rows != n_distinct`` as the duplicate guard without
+    paying a second corpus scan.
 
     Rebuild of the reference's parse-order docID (`Indexer.java:96-97,172`)
     with a data-determined order (SURVEY §1.4): rank by url, computed WITHOUT
@@ -195,21 +198,29 @@ def url_rank_ids(
     # safe failure mode; use a reliable checkpoint dir or stage the ids to a
     # table for long-running builds.)
     ranged = (
-        urls.select("url").repartitionByRange(num_ranges, "url").localCheckpoint()
+        urls.select("url")
+        .filter(F.col("url").isNotNull())  # F1; also keeps n_rows/countDistinct consistent
+        .repartitionByRange(num_ranges, "url")
+        .localCheckpoint()
     )
 
     pid = F.spark_partition_id()
     counts = (
         ranged.groupBy(pid.alias("pid"))
-        .agg(F.countDistinct("url").alias("count"))
+        .agg(
+            F.countDistinct("url").alias("count"),
+            F.count(F.lit(1)).alias("rows"),
+        )
         .orderBy("pid")
         .collect()
     )
     offsets = {}
     running = 0
+    n_rows = 0
     for row in counts:
         offsets[row["pid"]] = running
         running += row["count"]
+        n_rows += row["rows"]
     if offsets:
         offset_expr = F.create_map(
             *[F.lit(x) for kv in offsets.items() for x in kv]
@@ -227,7 +238,7 @@ def url_rank_ids(
             (offset_expr + F.col("__local")).cast("long").alias("docid"),
         )
     )
-    return ids, running
+    return ids, running, n_rows
 
 
 def _dedup_by_docid(docs: DataFrame) -> DataFrame:
@@ -249,11 +260,10 @@ def assign_doc_ids(webtext: DataFrame, num_ranges: int | None = None) -> DataFra
     corpus rows are never range-shuffled. If the input repeats a url, one
     row per docid survives (guarded — the dedup shuffle is only paid when
     the distinct-url count differs from the row count)."""
-    ids, running = url_rank_ids(webtext, num_ranges)
+    ids, running, n_rows = url_rank_ids(webtext, num_ranges)
     if running <= _IDS_BROADCAST_MAX_ROWS:
         ids = F.broadcast(ids)
     joined = webtext.join(ids, "url")
-    n_rows = webtext.filter(F.col("url").isNotNull()).count()
     if n_rows != running:
         joined = _dedup_by_docid(joined)
     return joined
@@ -543,14 +553,13 @@ def _build_index_impl(
         t0 = time.time()
         # the doc_ids table IS the (url, docid) map — write it straight from
         # the url-only rank computation; the corpus is scanned exactly once
-        # (in the tokenize materialization below), never for this stage
-        ids, n_docs_assigned = url_rank_ids(
-            webtext.filter(F.col("url").isNotNull())
-        )
+        # (in the tokenize materialization below), never for this stage.
+        # n_input_rows rides url_rank_ids' counts job — no second scan.
+        ids, n_docs_assigned, n_input_rows = url_rank_ids(webtext)
         write(ids.select("docid", "url"), "doc_ids")
         record("doc_ids", t0, rows=n_docs_assigned)
     else:
-        n_docs_assigned = None
+        n_docs_assigned = n_input_rows = None
     ids_back = tables._read(spark, "doc_ids")
     if n_docs_assigned is None:
         n_docs_assigned = ids_back.count()
@@ -559,8 +568,10 @@ def _build_index_impl(
     docs = webtext.join(ids_back, "url")
     # duplicate urls in the corpus would attach the same docid to >1 row and
     # double that doc's TFs — dedup to one row per docid, but only pay the
-    # window shuffle when duplicates actually exist (url-column-pruned count)
-    n_input_rows = webtext.filter(F.col("url").isNotNull()).count()
+    # window shuffle when duplicates actually exist (url-column-pruned count;
+    # on resume the doc_ids rows are the distinct count to compare against)
+    if n_input_rows is None:
+        n_input_rows = webtext.filter(F.col("url").isNotNull()).count()
     if n_input_rows != n_docs_assigned:
         docs = _dedup_by_docid(docs)
 

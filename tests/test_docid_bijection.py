@@ -31,7 +31,7 @@ def test_docid_bijection_at_scale(spark):
             F.lit("/page.html"),
         ).alias("url")
     )
-    ids, running = url_rank_ids(urls, num_ranges=32)
+    ids, running, n_rows = url_rank_ids(urls, num_ranges=32)
     agg = ids.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct("docid").alias("distinct_ids"),
@@ -69,11 +69,12 @@ def test_duplicate_urls_collapse_to_one_docid(spark, tmp_path):
     dup = [rows[i] for i in range(0, 50, 3)] + [("https://ex.org/0001", "alt")]
     webtext = spark.createDataFrame(rows + dup, "url string, text string")
 
-    ids, running = __import__(
+    ids, running, n_rows = __import__(
         "search_engine_trec_fair_ranking_19_spark.operators.index_build",
         fromlist=["url_rank_ids"],
     ).url_rank_ids(webtext)
     assert running == 50
+    assert n_rows == len(rows) + len(dup)
     assert ids.count() == 50
     assert ids.select("docid").distinct().count() == 50
 
