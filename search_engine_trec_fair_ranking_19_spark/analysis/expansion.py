@@ -17,6 +17,11 @@ expander:
   * a stopword original is skipped ENTIRELY, expansions included — the
     expanders `continue` before emitting the token's list
     (`GloVe.java:60-62`, `WordNet.java:72-74`);
+  * only content-word tokens are expanded: the reference POS-tags the query
+    and admits N/V/ADJ/ADV classes only (`WordNet.java:81-99,115-137`);
+    without the external tagger this is approximated by the lexical
+    `is_content_word` guard (alphabetic-only tokens) — null-POS tokens keep
+    their original with no expansions, same as the reference;
   * per token the candidate list is [original(w=1.0), cand1(w=0.5), …] and at
     most TWO terms are kept INCLUDING the original (`termCount` counts the
     original and breaks at 2, `Search.java:249-266`) — i.e. ≤1 expansion per
@@ -44,6 +49,20 @@ from .tokenizer import normalize_token, split_query, stem
 
 EXPANSION_WEIGHT = 0.5  # GloVe.java:55
 MAX_TERMS_PER_TOKEN = 2  # incl. the original: Search.java:264-266
+
+
+def is_content_word(token: str) -> bool:
+    """Heuristic stand-in for the reference's POS gate (`WordNet.java:81-137`):
+    a Maxent tagger assigns each token a Penn tag and `getPos()` admits only
+    noun/verb/adjective/adverb classes to synset expansion — numbers (CD),
+    symbols, and other null-POS tokens keep the original term with NO
+    expansions. The external tagger model isn't available here, so the
+    observable split is approximated lexically: purely-alphabetic tokens are
+    treated as content words (in English text a non-stopword alphabetic token
+    is overwhelmingly N/V/ADJ/ADV), while tokens containing digits or symbols
+    — the null-POS classes — are not expanded. Stopword originals are handled
+    upstream and drop the whole token (`GloVe.java:60-62`)."""
+    return token.isalpha()
 
 
 class QueryExpander(Protocol):
@@ -206,9 +225,11 @@ def expand_query(
         # expansions included (GloVe.java:60-62, WordNet.java:72-74)
         if use_stopwords and raw.lower() in STOPWORDS:
             continue
-        candidates = [(raw, 1.0)] + [
-            (c, EXPANSION_WEIGHT) for c in expander.expand(raw)
-        ]
+        candidates = [(raw, 1.0)]
+        # POS-class gate: only content words get candidates; null-POS tokens
+        # (digits/symbols) keep the original unexpanded (WordNet.java:81-99)
+        if is_content_word(raw):
+            candidates += [(c, EXPANSION_WEIGHT) for c in expander.expand(raw)]
         term_count = 0
         for cand, weight in candidates:
             # Search.java:250-253: stopword + multiword dropped pre-count

@@ -84,6 +84,15 @@ def test_stopword_original_drops_expansions_too():
     assert got == [("web", 1.0), ("net", 0.5)]
 
 
+def test_pos_guard_blocks_non_content_tokens():
+    # WordNet.java:81-99,115-137: only N/V/ADJ/ADV tokens are expanded; a
+    # null-POS token (number/symbol — here approximated as non-alphabetic)
+    # keeps its original with NO expansions
+    exp = SynonymTableExpander({"w00001": ["w00002"], "web": ["net"]})
+    got = expand_query("w00001 web", exp, use_stemmer=False)
+    assert got == [("w00001", 1.0), ("web", 1.0), ("net", 0.5)]
+
+
 def test_expansion_normalized_like_originals():
     exp = SynonymTableExpander({"fast": ["Running", "the"]})
     got = expand_query("fast", exp)  # stemmer+stopwords on
