@@ -68,8 +68,19 @@ def gate_index(spark: SparkSession, sf_dir: str) -> IndexTables:
             "themis_gate_index_" + key.strip("/").replace("/", "_"),
         )
         docs = documents_as_webtext(load_documents(spark, sf_dir))
+        # THEMIS_TABLE_IO=snapshot routes the whole gate through the
+        # SnapshotDirIO backend (atomic-snapshot parquet) — used to prove the
+        # table-IO seam end-to-end without an Iceberg runtime jar
+        table_io = None
+        if os.environ.get("THEMIS_TABLE_IO") == "snapshot":
+            from search_engine_trec_fair_ranking_19_spark.sources.table_io import (
+                SnapshotDirIO,
+            )
+
+            index_dir += "_snap"
+            table_io = SnapshotDirIO(index_dir)
         _INDEX_CACHE[key] = build_index(
-            spark, docs, index_dir, GATE_CONFIG, resume=True
+            spark, docs, index_dir, GATE_CONFIG, resume=True, table_io=table_io
         )
     return _INDEX_CACHE[key]
 

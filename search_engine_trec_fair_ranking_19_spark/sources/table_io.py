@@ -9,6 +9,11 @@ hard-coded choice:
     under the index root (exactly the previous behavior). "Snapshot" commits
     are emulated by the build manifest + the streaming layer's per-batch
     file-prefix protocol (`streaming/incremental.py`).
+  * `SnapshotDirIO` — plain directories with REAL atomic snapshot semantics
+    (staged writes + rename swap, commit-marker-gated appends, explicit-file
+    scan planning): what the streaming layer does for its tables, promoted
+    into the seam so batch builds get Iceberg-like crash safety with zero
+    dependencies.
   * `IcebergIO` — the production backend: tables live in an Iceberg catalog
     namespace, writes go through the `DataFrameWriterV2` (``writeTo``) API so
     every overwrite/append is an atomic snapshot commit, readers get
@@ -48,6 +53,124 @@ class ParquetDirIO:
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.location(name))
         df.sparkSession.catalog.refreshByPath(self.location(name))
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        return os.path.exists(os.path.join(self.location(name), "_SUCCESS"))
+
+
+class SnapshotDirIO:
+    """Atomic-snapshot parquet backend — the vendor-free twin of `IcebergIO`
+    for hosts without the runtime jar (the streaming layer's staging+swap
+    protocol, `streaming/incremental.py`, promoted into the table-IO seam).
+
+    Semantics an Iceberg catalog gives for free, reproduced on a plain
+    directory:
+
+    * **overwrite = atomic snapshot replace.** The new table is fully written
+      to a staging dir, then swapped over the live dir by renames. A crash at
+      any point leaves either the complete old or the complete new snapshot
+      readable — never a mix, never a half-written table.
+    * **append = committed snapshot.** Part-files are staged, moved into the
+      live dir under a snapshot prefix ``s<K>-``, and only then is K recorded
+      in the table's commit marker. `read` lists the live dir and hands Spark
+      an EXPLICIT file list of base files + prefixes ≤ the committed K (the
+      same mechanism as Iceberg's manifest-based scan planning), so an
+      uncommitted (crashed) append is invisible to every reader; the next
+      append garbage-collects it before claiming the same K.
+
+    Per-table commit metadata lives in ``_snapmeta_<name>.json`` under the
+    root. Rename-based, so root must be a single filesystem (any local or
+    NFS-like mount; on object stores use the real `IcebergIO`).
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- metadata ----------------------------------------------------------
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, f"_snapmeta_{name}.json")
+
+    def _committed(self, name: str) -> int:
+        import json
+
+        p = self._meta_path(name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(json.load(f)["committed"])
+        return 0
+
+    def _commit(self, name: str, k: int) -> None:
+        import json
+
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"committed": k}, f)
+        os.replace(tmp, self._meta_path(name))  # atomic on POSIX
+
+    # -- interface ---------------------------------------------------------
+    def location(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _committed_files(self, name: str) -> list[str]:
+        import re
+
+        live = self.location(name)
+        committed = self._committed(name)
+        out = []
+        for f in os.listdir(live):
+            if not (f.startswith("part-") or f.startswith("s")):
+                continue
+            m = re.match(r"^s(\d+)-", f)
+            if m is None:
+                if f.startswith("part-"):
+                    out.append(os.path.join(live, f))  # base snapshot
+            elif int(m.group(1)) <= committed:
+                out.append(os.path.join(live, f))
+        return out
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        files = self._committed_files(name)
+        if not files:
+            # empty table: scan the dir so Spark can still infer the schema
+            return spark.read.parquet(self.location(name))
+        return spark.read.parquet(*files)
+
+    def overwrite(self, df: DataFrame, name: str) -> None:
+        import shutil
+
+        live = self.location(name)
+        staging = live + ".staging"
+        retired = live + ".retired"
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(retired):  # leftover from a crashed prior swap
+            shutil.rmtree(retired)
+        if os.path.exists(live):
+            os.rename(live, retired)
+        os.rename(staging, live)
+        shutil.rmtree(retired, ignore_errors=True)
+        self._commit(name, 0)  # base snapshot only; appends restart at s1-
+        df.sparkSession.catalog.refreshByPath(live)
+
+    def append(self, df: DataFrame, name: str) -> None:
+        import shutil
+
+        live = self.location(name)
+        k = self._committed(name) + 1
+        prefix = f"s{k}-"
+        # GC any files a crashed, uncommitted attempt left under this id
+        for f in os.listdir(live):
+            if f.startswith(prefix):
+                os.remove(os.path.join(live, f))
+        staging = live + f".staging_s{k}"
+        df.write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.startswith("part-"):
+                os.rename(
+                    os.path.join(staging, f), os.path.join(live, prefix + f)
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        self._commit(name, k)  # the commit point: files now visible to read()
+        df.sparkSession.catalog.refreshByPath(live)
 
     def exists(self, spark: SparkSession, name: str) -> bool:
         return os.path.exists(os.path.join(self.location(name), "_SUCCESS"))
