@@ -138,14 +138,22 @@ def matched_postings(
     return decode_blocks(tables.postings(spark).filter(F.col("term").isin(terms)))
 
 
-def _terms_df(spark: SparkSession, pq: PreparedQuery) -> DataFrame:
-    return spark.createDataFrame(
-        [
-            (t, w, idf)
-            for (t, w), idf in zip(pq.terms, pq.idfs)
-        ],
-        "term string, weight double, idf double",
-    )
+def _lit_map(pairs) -> Column:
+    """[(key, value)] → constant map literal column.
+
+    Query weights/idfs are attached to postings as LITERAL map lookups, not a
+    broadcast-DF join: a query has a handful of terms, so the lookup is a
+    short constant-folded chain inside the scoring stage's codegen — no
+    broadcast exchange, no extra Spark job per query (round-2 bench: ~4 jobs
+    per query, one of which was exactly this build-and-broadcast)."""
+    return F.create_map(*[F.lit(x) for kv in pairs for x in kv])
+
+
+def _weight_idf_cols(pq: PreparedQuery) -> tuple[Column, Column]:
+    term = F.col("term")
+    weight = _lit_map(pq.terms)[term]
+    idf = _lit_map(zip((t for t, _ in pq.terms), pq.idfs))[term]
+    return weight, idf
 
 
 def _finalize(
@@ -269,17 +277,20 @@ def bm25_topk(
 def _bm25_raw(
     spark: SparkSession, posting: DataFrame, pq: PreparedQuery, config: EngineConfig
 ) -> DataFrame:
-    """(term, docid, tf, dl) → (docid, raw) BM25+ scores (`OkapiBM25P.java:67-88`)."""
+    """(term, docid, tf, dl) → (docid, raw) BM25+ scores (`OkapiBM25P.java:67-88`).
+
+    Postings arrive pre-filtered to the query terms (`matched_postings`), so
+    weight/idf attach as literal-map lookups — the whole scoring is one
+    codegen stage with no join."""
     k1, b = config.bm25_k1, config.bm25_b
-    terms_df = _terms_df(spark, pq)
-    f = F.col("tf") * F.col("weight")
+    weight, idf = _weight_idf_cols(pq)
+    f = F.col("tf") * weight
     B = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(pq.avgdl)
     )
-    contrib = F.col("idf") * (f * F.lit(k1 + 1.0) / (f + B))
+    contrib = idf * (f * F.lit(k1 + 1.0) / (f + B))
     return (
-        posting.join(F.broadcast(terms_df), "term")
-        .withColumn("contrib", contrib)
+        posting.withColumn("contrib", contrib)
         .groupBy("docid")
         .agg((F.sum("contrib") + F.lit(sum(pq.idfs))).alias("raw"))
     )
@@ -352,16 +363,16 @@ def bm25_topk_wand(
     blocks = (
         tables.postings(spark)
         .filter(F.col("term").isin(terms))
-        .join(F.broadcast(_terms_df(spark, pq)), "term")
         .persist()
     )
     try:
-        f_max = F.col("max_tf") * F.col("weight")
+        weight, idf = _weight_idf_cols(pq)
+        f_max = F.col("max_tf") * weight
         b_min = F.lit(k1) * (
             F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(pq.avgdl)
         )
         ub_expr = F.greatest(
-            F.col("idf") * (f_max * F.lit(k1 + 1.0) / (f_max + b_min)),
+            idf * (f_max * F.lit(k1 + 1.0) / (f_max + b_min)),
             F.lit(0.0),  # idf<0 ⇒ contribution < 0; 0 is a safe upper bound
         )
         group_ub = (
@@ -452,25 +463,18 @@ def vsm_topk(
     q_norm = math.sqrt(sum(w * w for w in q_weights))
 
     posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
-    terms_df = spark.createDataFrame(
-        [
-            (t, w, idf, qw)
-            for (t, w), idf, qw in zip(pq.terms, pq.idfs, q_weights)
-        ],
-        "term string, weight double, idf double, q_weight double",
-    )
+    weight, idf = _weight_idf_cols(pq)
+    q_weight = _lit_map(
+        zip((t for t, _ in pq.terms), q_weights)
+    )[F.col("term")]
     stats = tables.doc_stats(spark).select("docid", "max_tf", "vsm_weight")
     # doc-side weight per (term, doc): (tf*weight/maxTF)·idf, dotted with q_weight
     raw = (
-        posting.join(F.broadcast(terms_df), "term")
-        .join(stats, "docid")
+        posting.join(stats, "docid")
         .withColumn(
             "contrib",
-            F.col("q_weight")
-            * (
-                (F.col("tf") * F.col("weight") / F.col("max_tf"))
-                * F.col("idf")
-            ),
+            q_weight
+            * ((F.col("tf") * weight / F.col("max_tf")) * idf),
         )
         .groupBy("docid")
         .agg(
