@@ -1,21 +1,35 @@
 """N vs 4N EXECUTOR scaling on a Spark standalone cluster (north-rule evidence).
 
-Unlike `tools/scaling_bench.py` (local[8] vs local[32] in ONE JVM — where a
-single 32-thread GC domain and one shuffle service understate real-cluster
-scaling), this bench runs the same index-build + BM25 job against a standalone
-cluster of 4 worker JVMs × 8 cores on this box, capping `spark.cores.max` at
-8 (→ 1 executor, N) and 32 (→ 4 executors, 4N). Each executor is its own JVM
+Unlike `tools/scaling_bench.py` (local[N] vs local[4N] in ONE JVM — where a
+single GC domain and one shuffle service understate real-cluster scaling),
+this bench runs the same index-build + BM25 job against a standalone cluster
+of 4 worker JVMs × 4 cores on this box, capping ``spark.cores.max`` at 4
+(→ 1 executor, N) and 16 (→ 4 executors, 4N). Each executor is its own JVM
 with its own memory manager and (tmpfs) shuffle dirs — the per-executor
 resource model the rule's criterion assumes. The engine package ships to
 executors as a zip via spark.submit.pyFiles (the spark-submit --py-files
 mechanism).
 
+4 cores per worker on purpose: the box's 32 vCPUs are ~16 physical cores × 2
+SMT threads (measured — `tools/scaling_bench.py hw_cpu_scaling`), so 4×4c=16
+threads is the largest 4N arm that still adds PHYSICAL cores, which is what
+adding executors does on a real cluster. The round-2 run used 4×8c=32 threads
+and measured hyperthread contention, not executor scaling.
+
+Protocol matches scaling_bench.py: the two arms run as back-to-back PAIRS
+from one driver process (new SparkSession per arm against the same cluster),
+arm order alternating, a small warmup build per arm (executor JIT + Python
+worker spawn leave the measurement). An in-flight prober samples host
+first-touch throughput WHILE each arm runs, and a pair is only admitted
+when both arms' median sample clears the health floor — pairs accrue until
+the target number pass (round-2 ran entirely inside a degraded host window
+and measured the window, not the job).
+
 Cluster setup (idempotent, run once per boot):
-  tools/start_cluster.sh      # master on 127.0.0.1:7077 + 4 workers 8c/20g
+  tools/start_cluster.sh      # master on 127.0.0.1:7077 + 4 workers 4c/16g
 
 Usage:
-  SCALING_TRIALS=3 python tools/cluster_scaling_bench.py [--docs 2000000]
-  python tools/cluster_scaling_bench.py --run-one 8 <corpus> <out.json>
+  python tools/cluster_scaling_bench.py [--docs 500000] [--pairs 3]
 """
 
 from __future__ import annotations
@@ -23,7 +37,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
+import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -31,13 +46,15 @@ import zipfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.scaling_bench import (
+    HEALTH_FLOOR_MBPS,
+    QUERIES,
+    _ArmProber,
+    _gen_corpus,
+)
+
 MASTER = os.environ.get("SPARK_STANDALONE_MASTER", "spark://127.0.0.1:7077")
-QUERIES = [
-    "web search engine rank",
-    "w00001 w00002 spark",
-    "index partition shuffle",
-    "running quickly computing",
-]
+CORES_PER_EXECUTOR = 4
 
 
 def _package_zip() -> str:
@@ -63,8 +80,8 @@ def cluster_session(cores_max: int, app_name: str):
         SparkSession.builder.appName(app_name)
         .master(MASTER)
         .config("spark.cores.max", str(cores_max))
-        .config("spark.executor.cores", "8")
-        .config("spark.executor.memory", "16g")
+        .config("spark.executor.cores", str(CORES_PER_EXECUTOR))
+        .config("spark.executor.memory", "12g")
         .config("spark.driver.memory", "12g")
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.submit.pyFiles", _package_zip())
@@ -75,7 +92,6 @@ def cluster_session(cores_max: int, app_name: str):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.sql.files.minPartitionNum", str(cores_max * 3))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -83,12 +99,7 @@ def cluster_session(cores_max: int, app_name: str):
     )
 
 
-def run_one(cores_max: int, corpus_path: str, out_path: str) -> None:
-    import shutil
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from tools.scaling_bench import host_fault_mbps
-
+def _run_arm(cores_max: int, corpus_path: str, warmup_path: str) -> dict:
     from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
     from search_engine_trec_fair_ranking_19_spark.operators import query as q
     from search_engine_trec_fair_ranking_19_spark.operators.index_build import (
@@ -97,94 +108,111 @@ def run_one(cores_max: int, corpus_path: str, out_path: str) -> None:
 
     spark = cluster_session(cores_max, f"cluster-scaling-{cores_max}")
     spark.sparkContext.setLogLevel("ERROR")
-    cfg = EngineConfig()
-    webtext = spark.read.parquet(corpus_path)
-    n_docs = webtext.count()
+    try:
+        cfg = EngineConfig()
+        wdir = tempfile.mkdtemp(prefix=f"cluster_warm_{cores_max}_", dir="/dev/shm")
+        try:
+            build_index(spark, spark.read.parquet(warmup_path), wdir, cfg)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
 
-    trials = int(os.environ.get("SCALING_TRIALS", "3"))
-    build_secs, query_secs, fault_mbps = [], [], []
-    for _ in range(trials):
-        fault_mbps.append(host_fault_mbps())
-        index_dir = tempfile.mkdtemp(prefix=f"cluster_idx_{cores_max}_")
+        webtext = spark.read.parquet(corpus_path)
+        n_docs = webtext.count()
+        index_dir = tempfile.mkdtemp(
+            prefix=f"cluster_idx_{cores_max}_", dir="/dev/shm"
+        )
         try:
             t0 = time.time()
             tables = build_index(spark, webtext, index_dir, cfg)
-            build_secs.append(time.time() - t0)
-
+            build_sec = time.time() - t0
             q.bm25_topk(spark, tables, "warm up", k=10)
             t0 = time.time()
             for text in QUERIES:
                 q.bm25_topk(spark, tables, text, k=20).collect()
-            query_secs.append(time.time() - t0)
+            query_sec = time.time() - t0
         finally:
             shutil.rmtree(index_dir, ignore_errors=True)
-
-    build_sec, query_sec = min(build_secs), min(query_secs)
-    with open(out_path, "w") as f:
-        json.dump(
-            {
-                "executors": cores_max // 8,
-                "cores_max": cores_max,
-                "n_docs": n_docs,
-                "build_sec": round(build_sec, 3),
-                "build_sec_trials": [round(s, 3) for s in build_secs],
-                "docs_per_sec": round(n_docs / build_sec, 1),
-                "query_sec_total": round(query_sec, 3),
-                "query_sec_trials": [round(s, 3) for s in query_secs],
-                "query_sec_avg": round(query_sec / len(QUERIES), 3),
-                "host_fault_mbps_trials": fault_mbps,
-            },
-            f,
-        )
-    spark.stop()
-
-
-def orchestrate(n_docs: int) -> None:
-    corpus_path = os.path.join(
-        tempfile.gettempdir(), f"scaling_corpus_{n_docs}.parquet"
-    )
-    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
-            corpus_spark_distributed,
-        )
-
-        spark = cluster_session(32, "cluster-gen")
-        corpus_spark_distributed(spark, n_docs, seed=123).write.mode(
-            "overwrite"
-        ).parquet(corpus_path)
+        return {
+            "executors": cores_max // CORES_PER_EXECUTOR,
+            "cores_max": cores_max,
+            "n_docs": n_docs,
+            "build_sec": round(build_sec, 3),
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "query_sec_total": round(query_sec, 3),
+        }
+    finally:
         spark.stop()
 
-    results = {}
-    for cores in (8, 32):
-        out = os.path.join(tempfile.gettempdir(), f"cluster_scaling_{cores}.json")
-        subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--run-one",
-                str(cores),
-                corpus_path,
-                out,
-            ],
-            check=True,
-        )
-        with open(out) as f:
-            results[cores] = json.load(f)
-    write_summary(results[8], results[32])
 
+def orchestrate(n_docs: int, pairs: int) -> None:
+    corpus_path = _gen_corpus(n_docs)
+    warmup_path = _gen_corpus(20000)
+    low, high = CORES_PER_EXECUTOR, CORES_PER_EXECUTOR * 4
 
-def write_summary(lo: dict, hi: dict) -> None:
-    speedup = lo["build_sec"] / hi["build_sec"]
-    efficiency = speedup / (hi["cores_max"] / lo["cores_max"])
-    q_speedup = lo["query_sec_total"] / hi["query_sec_total"]
+    pair_rows = []
+    accepted = 0
+    for i in range(pairs * 3):
+        if accepted >= pairs:
+            break
+        a, b = (low, high) if i % 2 == 0 else (high, low)
+        schedule = (a, b, b, a)  # ABBA-min: see tools/scaling_bench.py
+        runs: dict[int, list[dict]] = {low: [], high: []}
+        arm_health: dict[int, list[float]] = {low: [], high: []}
+        with _ArmProber() as prober:
+            for cores in schedule:
+                t0 = time.time()
+                runs[cores].append(_run_arm(cores, corpus_path, warmup_path))
+                time.sleep(0.1)
+                arm_health[cores] += prober.window(t0, time.time())
+        lo = min(runs[low], key=lambda r: r["build_sec"])
+        hi = min(runs[high], key=lambda r: r["build_sec"])
+        med = {
+            c: (statistics.median(s) if s else 0.0)
+            for c, s in arm_health.items()
+        }
+        ok = all(m >= HEALTH_FLOOR_MBPS for m in med.values())
+        accepted += ok
+        speedup = lo["build_sec"] / hi["build_sec"]
+        row = {
+            "pair": i,
+            "schedule": ",".join(str(c) for c in schedule),
+            "build_sec_runs": {
+                str(c): [r["build_sec"] for r in rs] for c, rs in runs.items()
+            },
+            "low": lo,
+            "high": hi,
+            "build_speedup": round(speedup, 3),
+            "build_scaling_efficiency": round(speedup / 4, 3),
+            "query_speedup": round(
+                lo["query_sec_total"] / hi["query_sec_total"], 3
+            ),
+            "arm_fault_mbps": {str(c): s for c, s in arm_health.items()},
+            "arm_fault_median": {str(c): round(m, 1) for c, m in med.items()},
+            "healthy": ok,
+        }
+        pair_rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    kept = [r for r in pair_rows if r["healthy"]] or pair_rows
+    best_lo = min(r["low"]["build_sec"] for r in kept)
+    best_hi = min(r["high"]["build_sec"] for r in kept)
+    pair_effs = [r["build_scaling_efficiency"] for r in kept]
+    n_actual = pair_rows[0]["low"]["n_docs"]
     summary = {
-        "mode": "standalone-cluster 1 vs 4 executors (8 cores each)",
-        "n_docs": lo["n_docs"],
-        "low": lo,
-        "high": hi,
-        "build_speedup": round(speedup, 3),
-        "build_scaling_efficiency": round(efficiency, 3),
-        "query_speedup": round(q_speedup, 3),
+        "mode": (
+            "standalone-cluster 1 vs 4 executors (4 cores each), paired "
+            "protocol, in-flight health admission gate, warmup build per arm"
+        ),
+        "n_docs": n_actual,
+        "health_floor_mbps": HEALTH_FLOOR_MBPS,
+        "pairs": pair_rows,
+        "pairs_healthy": len([r for r in pair_rows if r["healthy"]]),
+        "build_sec_low_min": best_lo,
+        "build_sec_high_min": best_hi,
+        "docs_per_sec_low": round(n_actual / best_lo, 1),
+        "docs_per_sec_high": round(n_actual / best_hi, 1),
+        "build_scaling_efficiency": round(statistics.median(pair_effs), 3),
+        "pairwise_efficiency_all": pair_effs,
     }
     print(json.dumps(summary, indent=1))
     os.makedirs("BENCH", exist_ok=True)
@@ -194,17 +222,7 @@ def write_summary(lo: dict, hi: dict) -> None:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--run-one", nargs=3, metavar=("CORES", "CORPUS", "OUT"))
-    ap.add_argument("--docs", type=int, default=2_000_000)
-    ap.add_argument("--summarize", action="store_true")
+    ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--pairs", type=int, default=3)
     args = ap.parse_args()
-    if args.run_one:
-        run_one(int(args.run_one[0]), args.run_one[1], args.run_one[2])
-    elif args.summarize:
-        with open("/tmp/cluster_scaling_8.json") as f:
-            lo = json.load(f)
-        with open("/tmp/cluster_scaling_32.json") as f:
-            hi = json.load(f)
-        write_summary(lo, hi)
-    else:
-        orchestrate(args.docs)
+    orchestrate(args.docs, args.pairs)

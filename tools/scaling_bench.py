@@ -2,16 +2,40 @@
 
 The rule's N-vs-4N-executor criterion can't use a real cluster in this
 sandbox, so we run the SAME job — full index build + BM25 query set over a
-synthetic webtext corpus — at two parallelism levels (local[8] and local[32])
+synthetic webtext corpus — at N vs 4N cores (default splits 1:4, 2:8, 4:16)
 on the same input, and report throughput at both plus
-efficiency = (t_low / t_high) / (cpus_high / cpus_low).
+efficiency = (t_low / t_high) / (cpus_high / cpus_low) per split.
 
-Each level runs in its own subprocess (one JVM per level; no warm-JVM bias in
-either direction). Results go to BENCH/BASELINE.md + scaling_bench.json.
+Two sandbox realities shape the protocol (both measured, see
+BENCH/BASELINE.md):
+
+1. **SMT ceiling.** The box advertises 32 vCPUs but delivers ~16 physical
+   cores × 2 hyperthreads: a pure-CPU multiprocessing probe (no Spark, no
+   memory pressure) scales 8→32 workers at only ~0.62 efficiency and 4→16
+   at ~0.73-0.83, while 1→4 and 2→8 are near-ideal. A Spark job can never
+   beat the hardware curve, and on a REAL cluster going N→4N executors
+   adds physical cores — so the small-N splits are the faithful analog,
+   and every split is reported next to its own measured hardware ceiling
+   (`hw_cpu_scaling`) plus the job/hw ratio.
+
+2. **Host noise windows.** The VM's first-touch page-fault throughput
+   swings >100x (6 MB/s … 5.9 GB/s) on a minutes timescale — absolute
+   times from different windows are incomparable. So the two arms run as
+   back-to-back PAIRS inside ONE process (stop the SparkContext, start the
+   next arm's context in the same warm JVM ~seconds later): each pair
+   shares its host window and its JIT state, and the per-pair RATIO
+   cancels the common-mode noise. Arm order alternates across pairs to
+   cancel residual drift. Fault-probes run before/between/after each pair
+   so every ratio carries its window context.
+
+Shuffle and index output live on tmpfs: on a real cluster each executor
+shuffles to its OWN local disks and writes output to distributed storage —
+per-executor I/O bandwidth scales with N. Local mode's single OS disk does
+not, so RAM-backed I/O isolates the CPU-scaling signal the criterion is
+about.
 
 Usage:
-  python tools/scaling_bench.py [--docs 60000]          # orchestrate both levels
-  python tools/scaling_bench.py --run-one 8 <corpus> <out.json>   # internal
+  python tools/scaling_bench.py [--docs 500000] [--pairs 4] [--low 4 --high 16]
 """
 
 from __future__ import annotations
@@ -19,7 +43,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
+import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -34,27 +59,75 @@ QUERIES = [
 ]
 
 
-def host_fault_mbps() -> float:
+def host_fault_mbps(mb: int = 100) -> float:
     """First-touch page-fault throughput of THIS VM right now (MB/s).
 
     The sandbox host's on-demand memory path degrades transiently by >100x
-    (measured 6 MB/s to 4.6 GB/s for first touch of fresh pages within
+    (measured 6 MB/s to 5.9 GB/s for first touch of fresh pages within
     minutes). Every trial records this so bench consumers can tell a slow
-    CODE path from a slow HOST window; the min-of-trials already discards
-    storm-affected runs when at least one trial lands in a healthy window."""
+    CODE path from a slow HOST window."""
     import numpy as np
 
     t0 = time.time()
-    a = np.empty(100_000_000, dtype=np.uint8)
+    a = np.empty(mb * 1_000_000, dtype=np.uint8)
     a[::4096] = 1
     dt = time.time() - t0
     del a
-    return round(100.0 / dt, 1)
+    return round(mb / dt, 1)
 
 
-def run_one(cpus: int, corpus_path: str, out_path: str) -> None:
-    from pyspark.sql import functions as F
+def _busy(n_iter: int) -> int:
+    """Cache-resident integer mixing — CPU-bound, no memory-bandwidth
+    component (160 KB working set). Module-level for mp.Pool pickling."""
+    import numpy as np
 
+    x = np.arange(20_000, dtype=np.uint64)
+    s = 0
+    for _ in range(n_iter):
+        x = x * np.uint64(6364136223846793005) + np.uint64(
+            1442695040888963407
+        )
+        s ^= int(x[-1])
+    return s
+
+
+def hw_cpu_scaling(low: int, high: int) -> dict:
+    """Pure-CPU scaling ceiling of this box, no Spark involved.
+
+    Fixed total work split across `low` vs `high` forked workers; ideal
+    speedup = high/low. On this VM 8→32 tops out ~2.5x (SMT siblings),
+    4→16 reaches ~3.3x. Whatever the job measures is bounded by this."""
+    import multiprocessing as mp
+
+    total = 1_600_000
+    out = {}
+    for w in (low, high):
+        per = total // w
+        with mp.Pool(w) as p:
+            p.map(_busy, [10] * w)  # warm forks
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                p.map(_busy, [per] * w)
+                ts.append(time.time() - t0)
+        out[w] = min(ts)
+    speedup = out[low] / out[high]
+    return {
+        "low_workers": low,
+        "high_workers": high,
+        "low_sec": round(out[low], 2),
+        "high_sec": round(out[high], 2),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / (high / low), 3),
+    }
+
+
+def _run_arm(cpus: int, corpus_path: str, warmup_path: str | None = None) -> dict:
+    """One build + query trial at local[cpus]; context created and stopped
+    here so the caller can alternate arms inside one process/JVM. A small
+    warmup build first (when ``warmup_path`` is given) moves one-time costs —
+    JIT, Python-worker spawn + imports, first-touch buffer allocation — out
+    of the measured steady-state throughput."""
     from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
     from search_engine_trec_fair_ranking_19_spark.operators import query as q
     from search_engine_trec_fair_ranking_19_spark.operators.index_build import (
@@ -62,10 +135,6 @@ def run_one(cpus: int, corpus_path: str, out_path: str) -> None:
     )
     from search_engine_trec_fair_ranking_19_spark.session import get_spark
 
-    # shuffle on tmpfs: on a real cluster each executor shuffles to its OWN
-    # local disks (per-executor I/O scales with N); local-mode's single OS
-    # disk does not, so RAM-backed shuffle isolates the CPU-scaling signal
-    # the criterion is about. Documented in BENCH/BASELINE.md.
     extra = (
         {"spark.local.dir": "/dev/shm/spark-local"}
         if os.path.isdir("/dev/shm")
@@ -77,53 +146,53 @@ def run_one(cpus: int, corpus_path: str, out_path: str) -> None:
         shuffle_partitions=max(cpus * 2, 16),
         extra_conf=extra,
     )
-    cfg = EngineConfig()
-    webtext = spark.read.parquet(corpus_path)
-    n_docs = webtext.count()
-
-    # multiple trials, report the MIN: this box is a shared VM with noisy-
-    # neighbor variance (observed 2-3x run-to-run on identical inputs); the
-    # minimum is the least-contended measurement of the code's actual cost
-    trials = int(os.environ.get("SCALING_TRIALS", "3"))
-    build_secs, query_secs, fault_mbps = [], [], []
-    import shutil
-
-    for _ in range(trials):
-        fault_mbps.append(host_fault_mbps())
-        index_dir = tempfile.mkdtemp(prefix=f"scaling_index_{cpus}_")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        cfg = EngineConfig()
+        if warmup_path is not None:
+            wdir = tempfile.mkdtemp(
+                prefix=f"scaling_warm_{cpus}_",
+                dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+            )
+            try:
+                build_index(spark, spark.read.parquet(warmup_path), wdir, cfg)
+            finally:
+                shutil.rmtree(wdir, ignore_errors=True)
+        webtext = spark.read.parquet(corpus_path)
+        n_docs = webtext.count()
+        index_dir = tempfile.mkdtemp(
+            prefix=f"scaling_idx_{cpus}_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
         try:
             t0 = time.time()
             tables = build_index(spark, webtext, index_dir, cfg)
-            build_secs.append(time.time() - t0)
+            build_sec = time.time() - t0
+            stage_sec = {
+                name: s.get("seconds")
+                for name, s in tables.manifest().get("stages", {}).items()
+            }
 
             q.bm25_topk(spark, tables, "warm up", k=10)  # worker warm-up
             t0 = time.time()
             for text in QUERIES:
                 q.bm25_topk(spark, tables, text, k=20).collect()
-            query_secs.append(time.time() - t0)
+            query_sec = time.time() - t0
         finally:
             shutil.rmtree(index_dir, ignore_errors=True)
-
-    build_sec, query_sec = min(build_secs), min(query_secs)
-    with open(out_path, "w") as f:
-        json.dump(
-            {
-                "cpus": cpus,
-                "n_docs": n_docs,
-                "build_sec": round(build_sec, 3),
-                "build_sec_trials": [round(s, 3) for s in build_secs],
-                "docs_per_sec": round(n_docs / build_sec, 1),
-                "query_sec_total": round(query_sec, 3),
-                "query_sec_trials": [round(s, 3) for s in query_secs],
-                "query_sec_avg": round(query_sec / len(QUERIES), 3),
-                "host_fault_mbps_trials": fault_mbps,
-            },
-            f,
-        )
-    spark.stop()
+        return {
+            "cpus": cpus,
+            "n_docs": n_docs,
+            "build_sec": round(build_sec, 3),
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "stage_sec": stage_sec,
+            "query_sec_total": round(query_sec, 3),
+        }
+    finally:
+        spark.stop()
 
 
-def orchestrate(n_docs: int, low: int, high: int) -> None:
+def _gen_corpus(n_docs: int, cpus: int = 16) -> str:
     from search_engine_trec_fair_ranking_19_spark.session import get_spark
 
     corpus_path = os.path.join(
@@ -134,78 +203,282 @@ def orchestrate(n_docs: int, low: int, high: int) -> None:
             corpus_spark_distributed,
         )
 
-        spark = get_spark(app_name="scaling-gen", master="local[32]")
+        spark = get_spark(app_name="scaling-gen", master=f"local[{cpus}]")
         corpus_spark_distributed(spark, n_docs, seed=123).write.mode(
             "overwrite"
         ).parquet(corpus_path)
         spark.stop()
+    return corpus_path
 
-    results = {}
-    for cpus in (low, high):
-        out = os.path.join(tempfile.gettempdir(), f"scaling_{cpus}.json")
-        subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--run-one",
-                str(cpus),
-                corpus_path,
-                out,
-            ],
-            check=True,
-        )
-        with open(out) as f:
-            results[cpus] = json.load(f)
 
-    lo, hi = results[low], results[high]
-    speedup = lo["build_sec"] / hi["build_sec"]
-    efficiency = speedup / (high / low)
-    q_speedup = lo["query_sec_total"] / hi["query_sec_total"]
+class _ArmProber:
+    """Samples host first-touch throughput every ~8s in a daemon thread WHILE
+    an arm runs. Arm-boundary probes miss intra-arm window collapses (round-2
+    lesson: a 70s build straddling a 6 MB/s window looks identical, at its
+    boundaries, to a clean one) — these in-flight samples are what the
+    admission gate judges a pair by."""
+
+    def __init__(self, interval: float = 8.0):
+        import threading
+
+        self.samples: list[tuple[float, float]] = []  # (t, MB/s)
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, args=(interval,))
+        self._t.daemon = True
+
+    def _loop(self, interval: float) -> None:
+        while not self._stop.is_set():
+            self.samples.append((time.time(), host_fault_mbps(16)))
+            self._stop.wait(interval)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=30)
+
+    def window(self, t0: float, t1: float) -> list[float]:
+        return [round(v, 1) for (t, v) in self.samples if t0 <= t <= t1]
+
+
+# Admission floor for per-arm MEDIAN in-flight fault throughput. Healthy
+# windows on this VM measure 2000-5900 MB/s; degraded ones 6-300. 500 sits
+# in the gap: an arm whose median sample clears it spent most of its wall
+# time out of the degraded regime.
+HEALTH_FLOOR_MBPS = 500.0
+
+
+def run_split(
+    low: int,
+    high: int,
+    pairs: int,
+    corpus_path: str,
+    warmup_path: str,
+    max_attempts: int | None = None,
+) -> dict:
+    """Paired-ratio measurement of one N-vs-4N split.
+
+    Pairs run until ``pairs`` of them pass the health admission gate (both
+    arms' in-flight median fault probe ≥ HEALTH_FLOOR_MBPS) or
+    ``max_attempts`` (default 3x) is hit — the round-2 verdict's "use the
+    probes as an admission gate, not a post-hoc caveat". Rejected pairs stay
+    in the output, flagged, so the record shows what was excluded and why.
+
+    Each pair runs its arms in an ABBA schedule (A,B,B,A — first arm
+    alternates across pairs) and scores each arm by the MIN of its two runs:
+    measured r3 data showed a systematic ~20-40% position effect (whichever
+    arm ran SECOND in an A,B pair was faster, in both orders, even in later
+    pairs whose JVM had seen multiple full builds) that neither arm-order
+    alternation nor the fault probe explains. ABBA-min gives both arms a
+    late-position run inside the same host window, cancelling the effect
+    whatever its cause."""
+    max_attempts = max_attempts or pairs * 3
+    hw = hw_cpu_scaling(low, high)
+    print(f"hw ceiling {low}->{high}: {json.dumps(hw)}", flush=True)
+
+    pair_rows = []
+    accepted = 0
+    for i in range(max_attempts):
+        if accepted >= pairs:
+            break
+        a, b = (low, high) if i % 2 == 0 else (high, low)
+        schedule = (a, b, b, a)
+        runs: dict[int, list[dict]] = {low: [], high: []}
+        arm_health: dict[int, list[float]] = {low: [], high: []}
+        with _ArmProber() as prober:
+            for cpus in schedule:
+                t0 = time.time()
+                runs[cpus].append(_run_arm(cpus, corpus_path, warmup_path))
+                time.sleep(0.1)  # let >=1 sample land in tiny windows
+                arm_health[cpus] += prober.window(t0, time.time())
+        lo = min(runs[low], key=lambda r: r["build_sec"])
+        hi = min(runs[high], key=lambda r: r["build_sec"])
+        med = {
+            c: (statistics.median(s) if s else 0.0)
+            for c, s in arm_health.items()
+        }
+        ok = all(m >= HEALTH_FLOOR_MBPS for m in med.values())
+        accepted += ok
+        speedup = lo["build_sec"] / hi["build_sec"]
+        row = {
+            "pair": i,
+            "schedule": ",".join(str(c) for c in schedule),
+            "build_sec_runs": {
+                str(c): [r["build_sec"] for r in rs] for c, rs in runs.items()
+            },
+            "low": lo,
+            "high": hi,
+            "build_speedup": round(speedup, 3),
+            "build_scaling_efficiency": round(speedup / (high / low), 3),
+            "query_speedup": round(
+                lo["query_sec_total"] / hi["query_sec_total"], 3
+            ),
+            "arm_fault_mbps": {str(c): s for c, s in arm_health.items()},
+            "arm_fault_median": {str(c): round(m, 1) for c, m in med.items()},
+            "healthy": ok,
+        }
+        pair_rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    kept = [r for r in pair_rows if r["healthy"]] or pair_rows
+    # headline: median per-pair efficiency over HEALTHY pairs — each ratio is
+    # measured inside one window (common-mode noise cancels), the admission
+    # gate drops pairs that straddled a degraded window, and the median
+    # resists whatever leaks through
+    pair_effs = [r["build_scaling_efficiency"] for r in kept]
+    headline_eff = statistics.median(pair_effs)
+    best_lo = min(r["low"]["build_sec"] for r in kept)
+    best_hi = min(r["high"]["build_sec"] for r in kept)
+    n_docs_actual = pair_rows[0]["low"]["n_docs"]
+    return {
+        "low_cpus": low,
+        "high_cpus": high,
+        "n_docs": n_docs_actual,
+        "health_floor_mbps": HEALTH_FLOOR_MBPS,
+        "pairs": pair_rows,
+        "pairs_healthy": len([r for r in pair_rows if r["healthy"]]),
+        "build_sec_low_min": best_lo,
+        "build_sec_high_min": best_hi,
+        "docs_per_sec_low": round(n_docs_actual / best_lo, 1),
+        "docs_per_sec_high": round(n_docs_actual / best_hi, 1),
+        "build_scaling_efficiency": round(headline_eff, 3),
+        "pairwise_efficiency_all": pair_effs,
+        "hw_cpu_scaling": hw,
+        "job_to_hw_ratio": round(headline_eff / hw["efficiency"], 3),
+    }
+
+
+def orchestrate(
+    n_docs: int, splits: list[tuple[int, int, int]], pairs: int
+) -> None:
+    # all arms share one JVM; pin its heap once (identical memory per arm
+    # — on a real cluster 4N executors get 4x aggregate memory, so equal
+    # heaps only flatter the LOW arm: conservative for efficiency)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
+    corpus_path = _gen_corpus(n_docs)
+    warmup_path = _gen_corpus(20000)
+
+    results = [
+        run_split(low, high, n_pairs, corpus_path, warmup_path)
+        for (low, high, n_pairs) in splits
+    ]
     summary = {
-        "n_docs": lo["n_docs"],
-        "low": lo,
-        "high": hi,
-        "build_speedup": round(speedup, 3),
-        "build_scaling_efficiency": round(efficiency, 3),
-        "query_speedup": round(q_speedup, 3),
+        "protocol": (
+            "alternating back-to-back pairs, one JVM, tmpfs I/O, warmup "
+            "build per arm"
+        ),
+        "n_docs": results[0]["n_docs"],
+        "splits": results,
     }
     print(json.dumps(summary, indent=1))
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_bench.json", "w") as f:
         json.dump(summary, f, indent=1)
+    write_baseline_md(summary)
+    print("wrote BENCH/BASELINE.md")
+
+
+def write_baseline_md(s: dict) -> None:
+    split_rows = "\n".join(
+        f"| {r['low_cpus']}→{r['high_cpus']} | {r['build_sec_low_min']} | "
+        f"{r['build_sec_high_min']} | {r['pairs_healthy']}/{len(r['pairs'])} | "
+        f"**{r['build_scaling_efficiency']}** | "
+        f"{r['hw_cpu_scaling']['efficiency']} | {r['job_to_hw_ratio']} |"
+        for r in s["splits"]
+    )
+    pair_sections = []
+    for r in s["splits"]:
+        rows = "\n".join(
+            f"| {p['pair']} | {p['schedule']} | "
+            f"{'/'.join(str(x) for x in p['build_sec_runs'][str(r['low_cpus'])])} | "
+            f"{'/'.join(str(x) for x in p['build_sec_runs'][str(r['high_cpus'])])} | "
+            f"{p['build_speedup']}x | "
+            f"{p['build_scaling_efficiency']} | "
+            f"{p['arm_fault_median'][str(r['low_cpus'])]} / "
+            f"{p['arm_fault_median'][str(r['high_cpus'])]} | "
+            f"{'yes' if p['healthy'] else 'REJECTED'} |"
+            for p in r["pairs"]
+        )
+        pair_sections.append(
+            f"### local[{r['low_cpus']}] vs local[{r['high_cpus']}]\n\n"
+            f"| pair | ABBA schedule | low runs s | high runs s | speedup | "
+            f"efficiency | arm median fault MB/s (low/high) | admitted |\n"
+            f"|---|---|---|---|---|---|---|---|\n"
+            f"{rows}\n"
+        )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — scaling evidence (north rule)
 
-Sandbox stand-in for N vs 4N executors: the SAME index-build + BM25 query job
-on the SAME synthetic webtext input ({lo['n_docs']} docs, seed 123) at
-local[{low}] and local[{high}], each in a fresh JVM.
+Sandbox stand-in for N vs 4N executors: the SAME index-build + BM25 query
+job on the SAME synthetic webtext input ({s['n_docs']} docs, seed 123) at
+local[N] vs local[4N], at several N.
 
-| parallelism | build sec | docs/sec | 4-query total sec |
-|---|---|---|---|
-| local[{low}] | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['query_sec_total']} |
-| local[{high}] | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['query_sec_total']} |
+**Reading the numbers:** the VM advertises 32 vCPUs but delivers ~16
+physical cores x 2 SMT threads — a pure-CPU multiprocessing probe (no
+Spark, cache-resident work) measures the HARDWARE's own N→4N scaling at
+each split (column "hw ceiling"); no job can exceed it, and splits whose
+4N arm crosses the physical-core budget measure hyperthread contention,
+not the job. On a real cluster, going N→4N *executors* adds physical
+cores — the small-N splits are the faithful analog. The last column is
+the job's efficiency as a fraction of what the hardware gives.
 
-- build speedup {low}->{high} cores: **{speedup:.2f}x** (ideal {high//low}x)
-- build scaling efficiency: **{efficiency:.3f}** (target >= 0.8)
-- query-set speedup: {q_speedup:.2f}x
+**Why paired runs:** host first-touch page-fault throughput swings >100x
+on a minutes timescale (committed probes: 6 MB/s to 5.9 GB/s), so each
+pair runs both arms back-to-back in one process/JVM (context restart
+only) with a small warmup build per arm (JIT + Python-worker spawn +
+first-touch costs leave the measurement), and arm order alternates — the
+per-pair ratio cancels the common-mode host noise that made absolute
+cross-window times incomparable.
 
+**Why tmpfs I/O:** on a real cluster each executor shuffles to its own
+disks and writes to distributed storage (per-executor bandwidth scales
+with N); local mode's single OS disk does not, so RAM-backed shuffle +
+index output isolate the CPU-scaling signal the criterion is about.
+
+**Admission gate:** a daemon thread samples first-touch throughput every
+~8s WHILE each arm runs (boundary probes miss mid-arm window collapses —
+the round-2 lesson); a pair is admitted only when BOTH arms' in-flight
+median clears {HEALTH_FLOOR_MBPS:.0f} MB/s, and pairs accrue until the
+target number pass. Rejected pairs stay in the table, flagged. The
+headline per split is the MEDIAN per-pair efficiency over admitted pairs.
+
+**ABBA within each pair:** each arm runs twice per pair (A,B,B,A; the
+leading arm alternates across pairs) and is scored by its faster run —
+measured runs showed a ~20-40% advantage for whichever arm ran second in
+a simple A,B pair, in BOTH orders and even after the shared JVM had seen
+multiple full builds; ABBA-min gives both arms a late-position run in the
+same host window, cancelling that effect whatever its cause.
+
+| split N→4N | N build s (min) | 4N build s (min) | pairs healthy | job efficiency | hw ceiling | job/hw |
+|---|---|---|---|---|---|---|
+{split_rows}
+
+{chr(10).join(pair_sections)}
 Reference single-node baseline (BASELINE.md): 7,880 docs/sec parse+segment
 phase on a 47M-doc corpus, 0.92-1.26 s/query BM25.
 """
         )
-    print("wrote BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--run-one", nargs=3, metavar=("CPUS", "CORPUS", "OUT"))
     ap.add_argument("--docs", type=int, default=500000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--splits",
+        default="1:4:3,2:8:2,4:16:2",
+        help="comma-separated low:high[:healthy-pairs] core splits",
+    )
+    ap.add_argument("--pairs", type=int, default=2, help="default per split")
     args = ap.parse_args()
-    if args.run_one:
-        run_one(int(args.run_one[0]), args.run_one[1], args.run_one[2])
-    else:
-        orchestrate(args.docs, args.low, args.high)
+    split_list = []
+    for x in args.splits.split(","):
+        parts = [int(v) for v in x.split(":")]
+        split_list.append(
+            (parts[0], parts[1], parts[2] if len(parts) > 2 else args.pairs)
+        )
+    orchestrate(args.docs, split_list, args.pairs)
