@@ -636,11 +636,14 @@ def _build_index_impl(
         stats = doc_stats_table(
             tokens, n_docs, vocabulary=tables._read(spark, "vocabulary")
         )
-        write(stats, "doc_stats")
-        total_tokens = (
-            tables._read(spark, "doc_stats").agg(F.sum("token_count")).head()[0]
-            or 0
-        )
+        # total tokens rides the doc_stats WRITE as an observed metric — no
+        # separate read-back aggregation job (at 100 TB that job re-scans the
+        # whole doc_stats table for one scalar)
+        from pyspark.sql import Observation
+
+        obs = Observation("doc_stats_totals")
+        write(stats.observe(obs, F.sum("token_count").alias("tt")), "doc_stats")
+        total_tokens = obs.get["tt"] or 0
         cs = spark.createDataFrame(
             [
                 (
