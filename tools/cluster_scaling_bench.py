@@ -86,6 +86,12 @@ def cluster_session(cores_max: int, app_name: str):
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.submit.pyFiles", _package_zip())
         .config("spark.sql.shuffle.partitions", str(max(cores_max * 2, 16)))
+        # single-host homogeneous cluster: waiting for PROCESS_LOCAL slots on
+        # the executor that happens to hold a cached/shuffle block is pure
+        # loss (default 3s/task wave). Measured at 2M docs: the 4-executor
+        # arm ran 2x SLOWER than 1 executor with waits on — every stage over
+        # the cached token frame serialized behind locality stalls.
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
