@@ -346,20 +346,25 @@ def build_postings_blocks(
 
     ONE shuffle on (term, block_id) replaces the reference's partial-index
     spill + K-way heap merge (`Indexer.java:173-177,307-362,439-469`): Spark's
-    shuffle IS the merge. sort_array keeps blocks docid-ascending
-    (within-block order invariant, `Index.java:114-130`).
-
-    The single shuffle is a RANGE repartition on (term, block_id):
-    RangePartitioning satisfies the groupBy's clustering requirement, so the
-    collect_list aggregation runs with NO additional exchange, and the
-    partitions come out term-range-clustered — :func:`write_postings` adds a
+    shuffle IS the merge. The RANGE repartition leaves partitions
+    term-range-clustered — :func:`write_postings` then needs only a
     partition-local sort of the (small) encoded rows to finish the
-    row-group-prunable physical layout. A sort-based alternative
-    (sortWithinPartitions + run detection in numpy) measured 2.4x SLOWER
-    than this ObjectHashAggregate plan at 500k docs — Tungsten's 35M-row
-    string-key sort costs more than the hash agg it would replace. The range
-    sampling pass runs against the persisted token frame, so the Python
-    tokenizer still executes exactly once per document."""
+    row-group-prunable physical layout. The range sampling pass runs against
+    the persisted token frame, so the Python tokenizer still executes exactly
+    once per document.
+
+    Aggregation is a partition-local SORT + streaming run-detection encode,
+    not a hash aggregate: an earlier ObjectHashAggregate
+    (collect_list(struct) + sort_array) materialized every posting as JVM
+    objects inside the agg map — measured per-task CPU inflated 2.6x going
+    local[4]→local[16] on the allocation churn (this VM's first-touch
+    throughput SHRINKS 2x with 16 concurrent faulting threads — see
+    ARCHITECTURE.md §8), making the reduce stage the scaling ceiling of the
+    whole build. Tungsten's radix-ish sort reuses pooled pages, and the
+    encode kernel walks the sorted stream per Arrow batch with a bounded
+    (≤ one group) carry — no whole-partition materialization on either side
+    of the boundary (within-block docid order invariant `Index.java:114-130`
+    comes from the sort)."""
     block_size = config.postings_block_size
 
     grouped = (
@@ -367,39 +372,36 @@ def build_postings_blocks(
             "block_id", (F.col("docid") / F.lit(block_size)).cast("long")
         )
         .repartitionByRange("term", "block_id")
-        .groupBy("term", "block_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("docid", "tf", "dl"))
-            ).alias("plist"),
-            F.count(F.lit(1)).cast("int").alias("df"),
-            F.max("tf").cast("int").alias("max_tf"),
-            F.min("dl").cast("int").alias("min_dl"),
-        )
+        .sortWithinPartitions("term", "block_id", "docid")
     )
 
     def encode(batches):
-        # mapInArrow: the list<struct> column is accessed as raw Arrow child
-        # arrays — ZERO per-posting Python (the pandas path would surface each
-        # posting as a dict; at 10^8+ postings that is the build bottleneck)
+        # mapInArrow over the SORTED (term, block_id, docid) stream: group
+        # boundaries are detected vectorized (Arrow compute on adjacent
+        # slices), per-group stats come from np.*.reduceat, and the posting
+        # streams encode through the same concat codec — ZERO per-posting and
+        # zero per-group Python. The tail rows after the last boundary of a
+        # batch belong to ONE (possibly continuing) group; they carry over as
+        # zero-copy Arrow slices, so the working set stays bounded by one
+        # batch + one block (≤ postings_block_size postings) regardless of
+        # partition size.
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            idx = batch.schema.get_field_index("plist")
-            plist = batch.column(idx)
-            raw_offsets = np.asarray(plist.offsets, dtype=np.int64)
-            base = raw_offsets[0]
-            offsets = raw_offsets - base
-            flat = plist.values.slice(base, offsets[-1])
-            docids = np.asarray(flat.field("docid"), dtype=np.int64)
-            tf_arr = np.asarray(flat.field("tf"), dtype=np.int64)
-            dl_arr = np.asarray(flat.field("dl"), dtype=np.int64)
+        cols = ("term", "block_id", "docid", "tf", "dl")
+        carry: list | None = None  # [term, block_id, docid, tf, dl] arrays
 
+        def emit(t, blk, doc, tf, dl, starts):
+            # starts: int64 group-start indices into the arrays, first == 0;
+            # encodes len(starts) COMPLETE groups covering the whole range
+            n = len(doc)
+            offsets = np.concatenate((starts, [n]))
+            doc_np = np.asarray(doc, dtype=np.int64)
+            tf_np = np.asarray(tf, dtype=np.int64)
+            dl_np = np.asarray(dl, dtype=np.int64)
             gb, gbuf, tb, tbuf, db, dbuf = encode_blocks_concat(
-                docids, tf_arr, dl_arr, offsets
+                doc_np, tf_np, dl_np, offsets
             )
 
             def bin_array(bounds, buf):
@@ -409,19 +411,57 @@ def build_postings_blocks(
                     [None, pa.py_buffer(bounds.astype(np.int32)), pa.py_buffer(buf)],
                 )
 
-            yield pa.RecordBatch.from_arrays(
+            starts_pa = pa.array(starts, type=pa.int64())
+            return pa.RecordBatch.from_arrays(
                 [
-                    batch.column(batch.schema.get_field_index("term")),
-                    batch.column(batch.schema.get_field_index("block_id")),
-                    batch.column(batch.schema.get_field_index("df")),
-                    batch.column(batch.schema.get_field_index("max_tf")),
-                    batch.column(batch.schema.get_field_index("min_dl")),
+                    pc.take(t, starts_pa),
+                    pc.take(blk, starts_pa),
+                    pa.array(np.diff(offsets).astype(np.int32)),
+                    pa.array(
+                        np.maximum.reduceat(tf_np, starts).astype(np.int32)
+                    ),
+                    pa.array(
+                        np.minimum.reduceat(dl_np, starts).astype(np.int32)
+                    ),
                     bin_array(gb, gbuf),
                     bin_array(tb, tbuf),
                     bin_array(db, dbuf),
                 ],
-                names=["term", "block_id", "df", "max_tf", "min_dl", "gaps", "tfs", "dls"],
+                names=[
+                    "term", "block_id", "df", "max_tf", "min_dl",
+                    "gaps", "tfs", "dls",
+                ],
             )
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            arrs = [
+                batch.column(batch.schema.get_field_index(c)) for c in cols
+            ]
+            if carry is not None:
+                arrs = [
+                    pa.concat_arrays([c, a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a])
+                    for c, a in zip(carry, arrs)
+                ]
+            t, blk = arrs[0], arrs[1]
+            n = len(t)
+            # boundary where term OR block_id changes vs previous row
+            neq = pc.or_(
+                pc.not_equal(t.slice(1), t.slice(0, n - 1)),
+                pc.not_equal(blk.slice(1), blk.slice(0, n - 1)),
+            )
+            bounds = np.flatnonzero(np.asarray(neq, dtype=bool)) + 1
+            if bounds.size == 0:
+                carry = arrs  # whole batch is one (continuing) group
+                continue
+            last = int(bounds[-1])
+            starts = np.concatenate(([0], bounds[:-1])).astype(np.int64)
+            yield emit(*(a.slice(0, last) for a in arrs), starts)
+            carry = [a.slice(last) for a in arrs]
+
+        if carry is not None and len(carry[0]):
+            yield emit(*carry, np.zeros(1, dtype=np.int64))
 
     return grouped.mapInArrow(encode, schema=BLOCKS_SCHEMA)
 

@@ -25,11 +25,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Two query classes: all-common-term queries (every block's upper bound
-# stays above the top-k threshold — pruning CANNOT pay, the fallback should
-# route them) and selective queries mixing a rare high-idf term with common
-# terms (blocks lacking the rare term bound below θ and are pruned — the
-# regime WAND exists for).
+# Three query classes:
+#   * all-common-term queries — every block's upper bound stays above the
+#     top-k threshold, pruning CANNOT pay, the router must send them
+#     exhaustive;
+#   * single-hapax selective queries — one df=1 term + common terms. With
+#     k=10 the seed threshold θ is the k-TH best score, and a df=1 term can
+#     lift only ONE doc above the common-doc score floor, so θ stays at
+#     common-doc level and no block prunes (measured round 2: 0 blocks
+#     pruned on every such query). Kept as the negative control.
+#   * rare-SET selective queries (`rare_set_queries`) — ≥k rare terms (df
+#     small but Σ matched docs ≥ k) + common terms: the whole top-k is
+#     rare-doc, θ rises above every common-only block's UB, and blocks
+#     lacking a rare term prune. This is the real-webtext regime (a
+#     selective phrase/entity term with df in [k, ~1000]) that the closed
+#     Zipf vocabulary lacks and the hapax tail restores.
 QUERIES = [
     "web search engine rank",
     "index partition shuffle data",
@@ -38,13 +48,25 @@ QUERIES = [
     "w00931 web search",
     "w01477 index data",
     "w00764 w01891 rank",
-    # hapax-anchored selective queries: one document-unique term + common
-    # terms — the regime where block-max pruning pays (blocks lacking the
-    # hapax term bound below the top-k floor)
     "hxq12345a web search rank",
     "hxq777a index data engine",
     "hxq4242b crawl text",
 ]
+
+
+def rare_set_queries(n_docs: int) -> list[str]:
+    """Selective queries whose rare-term SET covers ≥ k docs: 12 hapax
+    tokens spread evenly over the docid space (each lands in a different
+    posting-block group) + common terms that make the exhaustive plan
+    expensive. Block-max pruning keeps only the ~12 groups containing a
+    rare doc."""
+    step = max(n_docs // 13, 1)
+    ids = [i * step for i in range(1, 13)]
+    rare = " ".join(f"hxq{i}a" for i in ids)
+    return [
+        f"{rare} web search data",
+        f"{rare} index engine text",
+    ]
 
 
 def main() -> None:
@@ -95,7 +117,7 @@ def main() -> None:
         q.bm25_topk(spark, tables, "warm up", k=10)  # worker warm-up
 
         per_query = []
-        for text in QUERIES:
+        for text in QUERIES + rare_set_queries(n_docs):
             pq = q.prepare_query(spark, tables, text, cfg)
             sum_df = int(sum(pq.dfs))
             ex_t, wd_t = [], []
@@ -103,15 +125,21 @@ def main() -> None:
                 t0 = time.time()
                 q.bm25_topk(spark, tables, text, k=10).collect()
                 ex_t.append(time.time() - t0)
-                stats: dict = {}
                 t0 = time.time()
+                # timed run carries NO stats: the block-count instrumentation
+                # is two extra Spark jobs that belong to the bench, not the
+                # operator
                 q.bm25_topk_wand(
-                    spark, tables, text, k=10, config=forced, stats=stats
+                    spark, tables, text, k=10, config=forced
                 ).collect()
                 wd_t.append(time.time() - t0)
+            stats: dict = {}  # untimed instrumented run for the block counts
+            q.bm25_topk_wand(
+                spark, tables, text, k=10, config=forced, stats=stats
+            ).collect()
             per_query.append(
                 {
-                    "query": text,
+                    "query": text if len(text) < 60 else text[:28] + "...[rare-set]",
                     "sum_df": sum_df,
                     "exhaustive_sec": round(min(ex_t), 3),
                     "wand_sec": round(min(wd_t), 3),
