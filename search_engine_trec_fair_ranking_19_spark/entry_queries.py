@@ -588,6 +588,30 @@ def q_ann_lsh(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_embedding_neardup_exact(spark, sf_dir):
+    """Embedding-cosine near-dup, exact baseline (gate threshold 0.35 — the
+    synthetic embeddings are near-orthogonal, max pairwise cosine ~0.51, so a
+    production-style 0.9 would emit zero rows and verify nothing)."""
+    emb = load_embeddings(spark, sf_dir)
+    pairs = similarity.embedding_near_dup_pairs_exact(emb, threshold=-1.0)
+    return pairs.select(
+        "a", "b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.35)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup scale path (no SQL oracle: seeded hyperplane
+    family). Soundness/subset/recall are pytest-pinned in
+    tests/test_gate_approx.py."""
+    emb = load_embeddings(spark, sf_dir)
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=-1.0, n_planes=4, n_tables=8
+    )
+    return pairs.select(
+        "a", "b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.3)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction with an SQL oracle: media bytes are the
     UTF-8 text of each document (so DuckDB can reproduce them), the decoder
@@ -651,6 +675,8 @@ QUERIES = {
     "ann_cosine_brute_force": q_ann_brute_force,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_lsh": q_ann_lsh,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -807,6 +833,20 @@ FROM pairs GROUP BY vec_id
 SELECT vec_id,
        round(sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))), 6) AS l2_norm
 FROM embeddings
+""",
+    "embedding_neardup_exact": """
+WITH p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         unnest(x.embedding)::DOUBLE AS va,
+         unnest(y.embedding)::DOUBLE AS vb
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+),
+c AS (
+  SELECT a, b,
+         round(sum(va * vb) / (sqrt(sum(va * va)) * sqrt(sum(vb * vb))), 6) AS cosine
+  FROM p GROUP BY a, b
+)
+SELECT a, b, cosine FROM c WHERE cosine >= 0.35
 """,
     "graph_stats": """
 WITH docs AS (

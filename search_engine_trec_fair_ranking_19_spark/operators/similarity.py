@@ -70,7 +70,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 def lsh_bucket_signatures(
     embeddings: DataFrame,
-    dim: int,
+    dim: int | None,
     n_planes: int = 16,
     n_tables: int = 4,
     seed: int = 99,
@@ -79,12 +79,26 @@ def lsh_bucket_signatures(
 ) -> DataFrame:
     """(vec_id, table, bucket) — one signed-projection bucket per hash table.
 
-    Vectorized: each Arrow batch is one (batch × dim) @ (dim × planes) matmul."""
-    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    Vectorized: each Arrow batch is one (batch × dim) @ (dim × planes) matmul.
+    ``dim=None`` infers the dimension from the first vector seen on each
+    worker — the hyperplanes are a pure function of (dim, seed), so every
+    worker derives the identical family."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes: list[np.ndarray] | None = (
+            None
+            if dim is None
+            else [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+        )
         for pdf in batches:
+            if pdf.empty:
+                continue
             mat = np.stack(pdf[vec_col].values).astype(np.float32)
+            if planes is None:
+                planes = [
+                    _hyperplanes(mat.shape[1], n_planes, seed + t)
+                    for t in range(n_tables)
+                ]
             ids = pdf[id_col].values
             out_ids, out_tables, out_buckets = [], [], []
             powers = 1 << np.arange(n_planes, dtype=np.int64)
@@ -158,3 +172,93 @@ def lsh_topk(
         candidates, embeddings[id_col] == candidates["vec_id"]
     ).select(embeddings[id_col], F.col(vec_col))
     return brute_force_topk(cand_vecs, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (a < b, cosine) with
+    cosine >= threshold.
+
+    This is the quadratic EXACT BASELINE (same role as
+    :func:`dedup.ngram_jaccard_pairs` for text): the a<b self-join is a
+    nested-loop product, correct and fine for gate-scale verification but not
+    the 100 TB path — :func:`embedding_near_dup_pairs` is the scale path and
+    is pytest-pinned as a subset of this operator's output with equal cosine
+    values. Cosine is computed entirely JVM-side (zip_with/aggregate)."""
+    ecol = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    left = embeddings.select(
+        F.col(id_col).alias("a"), ecol.alias("_va")
+    )
+    right = embeddings.select(
+        F.col(id_col).alias("b"), ecol.alias("_vb")
+    )
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed — the 100 TB path.
+
+    Candidate generation is a per-(table, bucket) self-join over the
+    random-hyperplane signatures (signed-projection collision probability
+    per plane is 1 - theta/pi, so a cosine-near pair collides in at least
+    one of the ``n_tables`` tables w.h.p.), followed by an EXACT cosine
+    verify of candidates only — every emitted pair therefore carries its
+    true cosine and is a subset of
+    :func:`embedding_near_dup_pairs_exact`'s output (pytest-pinned, with a
+    recall floor on planted near-duplicates).
+
+    Scale shape: one shuffle to build signatures, one bucket-keyed
+    self-join whose fan-out is bounded by bucket occupancy (tune
+    ``n_planes`` up to split hot buckets; AQE skew-join splits stragglers),
+    one distinct, one join back to vectors for the verify. No quadratic
+    stage touches the full table."""
+    sigs = lsh_bucket_signatures(
+        embeddings,
+        dim=None,  # inferred per batch from the vectors themselves
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table") == F.col("y.table"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+        )
+        .distinct()
+    )
+    ecol = F.transform(F.col(vec_col), lambda x_: x_.cast("double"))
+    va = embeddings.select(F.col(id_col).alias("a"), ecol.alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("b"), ecol.alias("_vb"))
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

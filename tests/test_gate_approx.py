@@ -123,3 +123,54 @@ def test_ann_lsh_sound_and_recall_vs_brute_force(spark):
     assert recall >= 0.7
     # the query vector itself (vec_id 0, cosine 1.0) must always be found
     assert 0 in {r["vec_id"] for r in got}
+
+
+def test_embedding_neardup_lsh_subset_of_exact_with_equal_cosine(spark):
+    # the gate's own data and parameters (entry_queries.q_embedding_neardup_lsh)
+    emb = _emb(spark)
+    lsh = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.3, n_planes=4, n_tables=8
+    ).collect()
+    exact = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_pairs_exact(
+            emb, threshold=0.3
+        ).collect()
+    }
+    assert lsh, "gate parameters should surface candidate pairs"
+    for r in lsh:
+        key = (r["a"], r["b"])
+        # subset: every LSH pair is a true >=threshold pair...
+        assert key in exact
+        # ...soundness: with the exact operator's exact cosine
+        assert r["cosine"] == pytest.approx(exact[key], abs=1e-9)
+
+
+def test_embedding_neardup_lsh_recall_on_planted_duplicates(spark):
+    # near-dup regime the operator exists for: planted pairs at cosine ~0.95+
+    # (per-plane collision prob 1 - theta/pi ~ 0.9; miss prob per table
+    # 1 - 0.9^4 ~ 0.33, over 8 tables ~ 0.33^8 < 2e-4)
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32)).astype("float32")
+    noisy = base + 0.1 * rng.standard_normal((40, 32)).astype("float32")
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.concatenate([base, noisy]))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dup_pairs_exact(
+            emb, threshold=0.9
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.9, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert exact, "planted duplicates must exist at cosine >= 0.9"
+    assert got <= exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95
