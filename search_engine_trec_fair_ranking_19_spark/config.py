@@ -41,12 +41,22 @@ class EngineConfig:
     # metadata/seed/prune passes cost more than decoding everything — fall
     # back to the exhaustive plan (0 = always run real WAND; used by tests
     # and the correctness gate). Measured (tools/wand_crossover_bench.py →
-    # BENCH/wand_crossover.json): at every corpus this sandbox can build
-    # (≤2M docs, Σ DF ≤ 6M) the pruning passes' fixed job overhead (~2s)
-    # exceeds the decode work they can save, so exhaustive wins everywhere —
-    # the default routes WAND in only where decode volume is large enough
-    # (tens of millions of candidate postings) for skipping to pay.
-    wand_min_postings: int = 10_000_000
+    # BENCH/wand_crossover.json): WAND first beats exhaustive at a 2M-doc
+    # hapax-enriched corpus, Σ DF ≈ 3.4M, on SELECTIVE queries (rare-term
+    # set covering ≥ k docs anchors θ above common-only blocks' UB — 48 of
+    # 1479 block groups survive, 1.3-1.5× net wall-clock win). The default
+    # sits just under that smallest measured winning Σ DF.
+    wand_min_postings: int = 3_000_000
+
+    # ...but volume alone cannot make pruning pay: the same bench shows
+    # all-common-term queries at Σ DF up to 6M LOSING under WAND (every
+    # block's UB stays above θ; 1956/1956 groups survive). The second
+    # routing condition is measured selectivity: the query's rare terms
+    # (DF ≤ n_docs / wand_rare_df_divisor, i.e. idf ≳ ln(divisor)) must
+    # together cover ≥ k docs, otherwise θ is anchored by common-term docs
+    # and no group prunes (a single hapax term cannot lift the k-th best).
+    # Driver-side arithmetic on the already-fetched per-term DFs — zero jobs.
+    wand_rare_df_divisor: int = 1000
 
     # query-time vocabulary handling: up to this many terms the whole
     # vocabulary is loaded into a driver dict (the reference's query-time

@@ -348,8 +348,17 @@ def bm25_topk_wand(
             spark, tables, _bm25_raw(spark, posting, pq, config), k,
             pagerank_weight,
         )
-    if sum(pq.dfs) < config.wand_min_postings:
-        # tiny candidate set: pruning overhead > decode cost — exhaustive
+    # routing (measured, BENCH/wand_crossover.json): pruning pays only when
+    # BOTH the decode volume clears the crossover AND the query is selective
+    # — its rare terms (df ≤ N/divisor) must cover ≥ k docs so θ can rise
+    # above common-only blocks' UB. Pure driver arithmetic on pq.dfs.
+    rare_df_max = max(1, pq.n_docs // max(config.wand_rare_df_divisor, 1))
+    rare_cover = sum(df for df in pq.dfs if df <= rare_df_max)
+    forced = config.wand_min_postings == 0  # tests/gate: always run real WAND
+    if not forced and (
+        sum(pq.dfs) < config.wand_min_postings or rare_cover < k
+    ):
+        # pruning overhead > decode cost, or θ cannot rise — exhaustive
         if stats is not None:
             stats["fallback"] = "exhaustive"
         posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
@@ -384,23 +393,27 @@ def bm25_topk_wand(
             )
         ).persist()
 
-        # seed: prefix of groups (by UB desc) holding ≥ 4k docs. Overshooting
-        # k on purpose: a single coarse block's k-th best is dominated by
-        # common-term docs and yields a θ far below the true top-k floor
-        # (measured: pruning 4/1936 blocks); a few extra decoded blocks put
-        # enough high-UB docs into the seed that θ approaches the real
-        # threshold and the prune actually bites. Seed decode stays O(blocks).
+        # seed: prefix of groups (by UB desc) holding ≥ 4k docs AND spanning
+        # ≥ min(k, available) groups. Both floors matter: overshooting k docs
+        # keeps a coarse block's common-term crowd from dominating θ, and the
+        # ≥ k-groups floor keeps one common-heavy group from terminating the
+        # seed early — with selective queries the true top-k is spread over k
+        # different high-UB groups (one rare doc each), and a θ taken from a
+        # single group sits at common-doc level, pruning nothing (measured:
+        # 381/381 groups survived on 12-rare-term queries before this floor).
+        # Seed decode stays O(k) groups regardless of corpus size.
         seed_rows = (
             group_ub.orderBy(F.desc("group_ub"), F.asc("block_id"))
             .select("block_id", "min_docs")
             .limit(max(4 * k, 64))  # bounded driver transfer
             .collect()
         )
+        min_groups = min(k, len(seed_rows))
         seed_ids, covered = [], 0
         for r in seed_rows:
             seed_ids.append(r["block_id"])
             covered += r["min_docs"]
-            if covered >= 4 * k:
+            if covered >= 4 * k and len(seed_ids) >= min_groups:
                 break
         seed_raw = _bm25_raw(
             spark,

@@ -151,21 +151,32 @@ def main() -> None:
         results.append({"n_docs": n_docs, "queries": per_query})
         print(json.dumps(results[-1]))
 
-    # crossover: smallest sum_df where WAND won
+    # crossover: smallest sum_df where WAND won AND actually pruned —
+    # a "win" with blocks_survived == blocks_total is host-timing noise,
+    # not evidence
     wins = sorted(
         pq["sum_df"]
         for r in results
         for pq in r["queries"]
         if pq["wand_wins"]
+        and pq["blocks_survived"] is not None
+        and pq["blocks_survived"] < pq["blocks_total"]
     )
     crossover = wins[0] if wins else None
     out = {
         "results": results,
         "crossover_sum_df": crossover,
         "note": (
-            "EngineConfig.wand_min_postings default should sit at/below the "
-            "smallest winning sum_df so real queries route to WAND only "
-            "where pruning pays"
+            "Crossover counts only wins with real pruning "
+            "(blocks_survived < blocks_total). Two conditions must hold for "
+            "WAND to pay (both routed in bm25_topk_wand): decode volume "
+            "sum_df above EngineConfig.wand_min_postings (set just under "
+            "the smallest winning sum_df here), and selectivity — rare "
+            "terms (df <= n_docs/wand_rare_df_divisor) covering >= k docs, "
+            "so the seed's theta rises above common-only blocks' UB. "
+            "All-common-term queries never prune (every group's UB stays "
+            "above theta) and correctly route exhaustive; a single hapax "
+            "term cannot lift the k-th best and also routes exhaustive."
         ),
     }
     os.makedirs("BENCH", exist_ok=True)
