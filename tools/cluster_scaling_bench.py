@@ -54,7 +54,17 @@ from tools.scaling_bench import (
 )
 
 MASTER = os.environ.get("SPARK_STANDALONE_MASTER", "spark://127.0.0.1:7077")
-CORES_PER_EXECUTOR = 4
+# Executor size is a measurement choice on this box, not a tuning knob:
+# 4-core executors make the 4N arm 16 threads, which on this single host is
+# DRAM-bandwidth-saturated (ARCHITECTURE.md §8 — the postings stage measures
+# ~0.27 efficiency 4→16 THREADS regardless of how they are grouped into
+# JVMs, because 4 executor JVMs share one memory subsystem; a real cluster
+# multiplies memory channels with executors). 1-core executors keep the 4N
+# arm (4 threads total) inside the box's bandwidth envelope, so the 1→4
+# EXECUTOR split measures executor scaling (per-executor JVM, shuffle over
+# localhost TCP, independent Python worker pools) rather than the host's
+# memory ceiling. Start the cluster with matching CORES_PER_WORKER.
+CORES_PER_EXECUTOR = int(os.environ.get("CLUSTER_CORES_PER_EXECUTOR", "4"))
 
 
 def _package_zip() -> str:
@@ -76,7 +86,7 @@ def cluster_session(cores_max: int, app_name: str):
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     from pyspark.sql import SparkSession
 
-    return (
+    spark = (
         SparkSession.builder.appName(app_name)
         .master(MASTER)
         .config("spark.cores.max", str(cores_max))
@@ -103,6 +113,12 @@ def cluster_session(cores_max: int, app_name: str):
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
+    # spark.submit.pyFiles is only processed when THIS session launches the
+    # JVM; if an earlier local session (e.g. corpus generation) already
+    # started the gateway, the conf is silently ignored and executors fail
+    # with ModuleNotFoundError. addPyFile ships the zip at runtime either way.
+    spark.sparkContext.addPyFile(_package_zip())
+    return spark
 
 
 def _run_arm(cores_max: int, corpus_path: str, warmup_path: str) -> dict:
@@ -206,9 +222,11 @@ def orchestrate(n_docs: int, pairs: int) -> None:
     n_actual = pair_rows[0]["low"]["n_docs"]
     summary = {
         "mode": (
-            "standalone-cluster 1 vs 4 executors (4 cores each), paired "
-            "protocol, in-flight health admission gate, warmup build per arm"
+            f"standalone-cluster 1 vs 4 executors "
+            f"({CORES_PER_EXECUTOR} cores each), paired protocol, in-flight "
+            f"health admission gate, warmup build per arm"
         ),
+        "cores_per_executor": CORES_PER_EXECUTOR,
         "n_docs": n_actual,
         "health_floor_mbps": HEALTH_FLOOR_MBPS,
         "pairs": pair_rows,
@@ -222,7 +240,8 @@ def orchestrate(n_docs: int, pairs: int) -> None:
     }
     print(json.dumps(summary, indent=1))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/cluster_scaling.json", "w") as f:
+    suffix = "" if CORES_PER_EXECUTOR == 4 else f"_{CORES_PER_EXECUTOR}c"
+    with open(f"BENCH/cluster_scaling{suffix}.json", "w") as f:
         json.dump(summary, f, indent=1)
 
 
