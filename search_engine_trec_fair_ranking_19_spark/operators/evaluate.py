@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
 from .index_build import IndexTables
 from .query import bm25_topk, vsm_topk
 
@@ -66,7 +67,7 @@ def _resolve_judged_docids(
     out: dict[int, list[tuple[int, int]]] = {}
     if not all_j:
         return out
-    jdf = spark.createDataFrame(all_j, "qid int, url string, rel int")
+    jdf = local_rows_df(spark, all_j, "qid int, url string, rel int")
     resolved = F.broadcast(jdf).join(
         tables.doc_ids(spark).select("url", "docid"), "url"
     )
@@ -113,7 +114,7 @@ def evaluate(
             elif not pairs:
                 ap, nd = 0.0, 0.0
             else:
-                pj = spark.createDataFrame(pairs, "docid long, rel int")
+                pj = local_rows_df(spark, pairs, "docid long, rel int")
                 judged = topk.join(F.broadcast(pj), "docid").select(
                     "rel",
                     F.row_number().over(w_rank).alias("judged_rank"),
@@ -147,7 +148,8 @@ def evaluate(
             topk.unpersist()
         dt = time.time() - t0
         rows.append((qid, qtext, float(ap), float(nd), n_results, dt))
-    per_query = spark.createDataFrame(
+    per_query = local_rows_df(
+        spark,
         rows, "qid int, query string, avep double, ndcg double, n_results int, seconds double"
     )
     valid_ap = [r[2] for r in rows if not math.isnan(r[2])]

@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..session import local_rows_df
 from ..functions.codec import encode_blocks_concat
 
 TOKENS_SCHEMA = "docid long, term string, tf int, dl int, max_tf int"
@@ -52,6 +53,36 @@ STAGES = (
     "postings",
     "vocabulary",
 )
+
+
+# ~bytes of (compressed parquet) table per cached partition. 8 MB compressed
+# ≈ tens of MB of decode work per task — enough to amortize a task launch,
+# small enough that a 500k-doc postings table still fans out across cores.
+_CACHE_BYTES_PER_PARTITION = 8 << 20
+
+
+def _right_size_for_cache(df: DataFrame) -> DataFrame:
+    """Coalesce a small table to ~8 MB/partition before per-handle caching.
+
+    Spark floors scan splits at ``spark.default.parallelism``, so a few-MB
+    parquet table still splits into ~n_cores partitions — and every query
+    over the cached table then pays ~n_cores task launches to touch a few MB
+    (measured: 32 of the 33 tasks of a bench bm25 query were this scan, the
+    bulk of its fixed latency). Coalesce (narrow, no shuffle) the cached view
+    down to the file-size estimate over 8 MB/partition; tables at or above
+    ~cores × 8 MB keep their natural parallelism, so at web scale this is a
+    no-op."""
+    spark = df.sparkSession
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM-backed plan or missing stats: leave as-is
+        return df
+    if not 0 < est < (1 << 50):  # unknown sentinel
+        return df
+    target = int(est // _CACHE_BYTES_PER_PARTITION) + 1
+    if target < spark.sparkContext.defaultParallelism:
+        return df.coalesce(target)
+    return df
 
 
 @dataclass
@@ -90,7 +121,7 @@ class IndexTables:
             cache = {}
             self._df_cache = cache
         if name not in cache:
-            cache[name] = self._read(spark, name).persist(
+            cache[name] = _right_size_for_cache(self._read(spark, name)).persist(
                 StorageLevel.MEMORY_ONLY
             )
         return cache[name]
@@ -684,7 +715,8 @@ def _build_index_impl(
         obs = Observation("doc_stats_totals")
         write(stats.observe(obs, F.sum("token_count").alias("tt")), "doc_stats")
         total_tokens = obs.get["tt"] or 0
-        cs = spark.createDataFrame(
+        cs = local_rows_df(
+            spark,
             [
                 (
                     n_docs,

@@ -24,6 +24,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
 from .index_build import IndexTables
 
 
@@ -92,7 +93,8 @@ def graph_stats(
     finally:
         resolved.unpersist()
 
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (
                 n_nodes,
@@ -131,7 +133,8 @@ def degree_histograms(
                 .withColumn("direction", F.lit(direction))
             )
             n_zero = n_nodes - deg.count()
-            zero = spark.createDataFrame(
+            zero = local_rows_df(
+                spark,
                 [(direction, 0, n_zero)], "direction string, degree long, n_nodes long"
             ).filter(F.col("n_nodes") > 0)
             rows.append(hist.select("direction", "degree", "n_nodes").union(zero))

@@ -33,6 +33,7 @@ from ..analysis.expansion import expand_query
 from ..config import EngineConfig
 from ..functions.codec import decode_block
 from ..oracle.engine import merge_terms
+from ..session import local_rows_df as _local_df
 from .index_build import IndexTables
 
 TOPK_SCHEMA = T.StructType(
@@ -189,18 +190,18 @@ def _finalize(
                 .collect()
             )
             if not rows:
-                return spark.createDataFrame([], TOPK_SCHEMA)
+                return _local_df(spark, [], TOPK_SCHEMA)
             max_raw = rows[0]["raw"]  # global max: sort desc, row 1 survives
             if max_raw <= 0.0:
                 # the reference's running max starts at 0 and is forced to 1
                 # when nothing exceeds it (OkapiBM25P.java:91-94, VSM.java:113-116)
                 max_raw = 1.0
-            return spark.createDataFrame(
-                [(r["docid"], r["raw"] / max_raw) for r in rows], TOPK_SCHEMA
+            return _local_df(
+                spark, [(r["docid"], r["raw"] / max_raw) for r in rows], TOPK_SCHEMA
             )
         max_raw = raw_scores.agg(F.max("raw")).head()[0]
         if max_raw is None:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return _local_df(spark, [], TOPK_SCHEMA)
         if max_raw <= 0.0:
             max_raw = 1.0
         return (
@@ -215,7 +216,7 @@ def _finalize(
     try:
         max_raw = raw_scores.agg(F.max("raw")).head()[0]
         if max_raw is None:
-            return spark.createDataFrame([], TOPK_SCHEMA)
+            return _local_df(spark, [], TOPK_SCHEMA)
         if max_raw <= 0.0:
             max_raw = 1.0
 
@@ -241,9 +242,9 @@ def _finalize(
         if k is not None:
             rows = final.limit(k).collect()
             return (
-                spark.createDataFrame(rows, TOPK_SCHEMA)
+                _local_df(spark, rows, TOPK_SCHEMA)
                 if rows
-                else spark.createDataFrame([], TOPK_SCHEMA)
+                else _local_df(spark, [], TOPK_SCHEMA)
             )
         # k=None: distributed materialization, then parents can be released
         return final.localCheckpoint()
@@ -268,7 +269,7 @@ def bm25_topk(
         pagerank_weight = config.pagerank_weight
     pq = prepare_query(spark, tables, query, config, expander=expander)
     if not pq.terms:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return _local_df(spark, [], TOPK_SCHEMA)
     posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
     raw = _bm25_raw(spark, posting, pq, config)
     return _finalize(spark, tables, raw, k, pagerank_weight)
@@ -339,7 +340,7 @@ def bm25_topk_wand(
         pagerank_weight = config.pagerank_weight
     pq = prepare_query(spark, tables, query, config)
     if not pq.terms:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return _local_df(spark, [], TOPK_SCHEMA)
     if pagerank_weight != 0.0:
         if stats is not None:
             stats["fallback"] = "exhaustive_pagerank_blend"
@@ -467,7 +468,7 @@ def vsm_topk(
         pagerank_weight = config.pagerank_weight
     pq = prepare_query(spark, tables, query, config, expander=expander)
     if not pq.terms:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return _local_df(spark, [], TOPK_SCHEMA)
 
     max_q_freq = max(w for _, w in pq.terms)
     q_weights = [
@@ -512,7 +513,7 @@ def existential(
     config = config or tables.config
     pq = prepare_query(spark, tables, query, config)
     if not pq.terms:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return _local_df(spark, [], TOPK_SCHEMA)
     docs = (
         matched_postings(spark, tables, [t for t, _ in pq.terms])
         .select("docid")

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -162,7 +164,7 @@ def lsh_topk(
     sigs = lsh_bucket_signatures(
         embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
     )
-    probe_df = sigs.sparkSession.createDataFrame(probe, "table int, bucket long")
+    probe_df = local_rows_df(sigs.sparkSession, probe, "table int, bucket long")
     candidates = (
         sigs.join(F.broadcast(probe_df), ["table", "bucket"])
         .select("vec_id")

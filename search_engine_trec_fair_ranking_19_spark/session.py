@@ -29,6 +29,22 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]):
                 spark.conf.set(k, prev)
 
 
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Driver-built small DataFrame (≤ a few thousand rows) as a SINGLE-slice
+    relation.
+
+    ``spark.createDataFrame(list)`` parallelizes into defaultParallelism
+    slices, so every downstream action over a 20-row frame schedules ~n_cores
+    near-empty tasks, and a 1-row table write emits ~n_cores files (all but
+    one empty). Measured on the bench: 32 of the 33 tasks of a bm25 query
+    were the collect of its own k-row result frame. One slice → one task /
+    one file. Only for driver-sized data — anything that should fan out
+    (fixture corpora, media tables) repartitions explicitly instead."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def get_spark(
     app_name: str = "themis-spark",
     master: str | None = None,

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..session import local_rows_df
 from ..operators.index_build import (
     IndexTables,
     assign_doc_ids,
@@ -251,7 +252,8 @@ def ingest_batch(
         new_total_tokens = (
             tables.doc_stats(spark).agg(F.sum("token_count")).head()[0] or 0
         )
-        cs = spark.createDataFrame(
+        cs = local_rows_df(
+            spark,
             [
                 (
                     n_docs,
