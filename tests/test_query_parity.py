@@ -179,3 +179,15 @@ def test_wand_threshold_routes_small_queries_to_exhaustive(spark, tables, oracle
     stats = {}
     q.bm25_topk_wand(spark, tables, "web search", k=10, config=CFG, stats=stats)
     assert "fallback" not in stats and "theta" in stats
+
+
+def test_topk_result_is_single_slice(spark, tables):
+    """Perf contract: a bounded top-k result is a driver-built local frame and
+    must be a SINGLE-slice relation — createDataFrame(list)'s default of
+    defaultParallelism slices made every caller collect() schedule ~n_cores
+    empty tasks (measured: 32 of 33 tasks of a bench bm25 query)."""
+    for df in (
+        q.bm25_topk(spark, tables, "web search", k=5),
+        q.bm25_topk(spark, tables, "zzz-no-such-term", k=5),  # empty frame
+    ):
+        assert df.rdd.getNumPartitions() == 1
