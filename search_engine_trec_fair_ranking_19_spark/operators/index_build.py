@@ -585,7 +585,24 @@ def build_index(
     # and serialize the Python tokenizer. Session-wide this knob taxed every
     # sub-second scan with ~100 task launches (round-2 bench regressions);
     # at 100 TB the 128m byte cap dominates and the floor is moot.
+    # The floor is also DATA-bounded: 3×cores splits of a 5k-doc corpus are
+    # ~100 near-empty Python-worker round-trips (~half the bench build).
+    # ~2 MB of input per split ≈ 0.5-2 s of tokenizer work — enough to
+    # amortize a task launch; the cores floor only engages once the corpus
+    # is big enough to feed every core that much.
     floor = max(spark.sparkContext.defaultParallelism * 3, 8)
+    try:
+        est = int(
+            webtext.select("url", "text")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+        if 0 < est < (1 << 50):
+            floor = max(8, min(floor, est // (2 << 20) + 1))
+    except Exception:
+        pass  # non-file-backed plan: keep the cores floor
     with scoped_conf(
         spark, {"spark.sql.files.minPartitionNum": str(floor)}
     ):
