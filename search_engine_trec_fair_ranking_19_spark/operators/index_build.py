@@ -61,6 +61,24 @@ STAGES = (
 _CACHE_BYTES_PER_PARTITION = 8 << 20
 
 
+def _partition_file_bytes(index_dir: str, name: str) -> list[int] | None:
+    """Per-partition compressed bytes of a written stage table.
+
+    The parquet backend writes one part-file per partition, so the sorted
+    file-size list IS the per-partition compression profile (north rule:
+    "bytes compressed per partition" in the per-stage metrics). Returns None
+    on non-directory backends (Iceberg tracks file sizes in its own
+    manifests)."""
+    path = os.path.join(index_dir, name)
+    if not os.path.isdir(path):
+        return None
+    return sorted(
+        e.stat().st_size
+        for e in os.scandir(path)
+        if e.is_file() and e.name.startswith("part-")
+    )
+
+
 def _right_size_for_cache(df: DataFrame) -> DataFrame:
     """Coalesce a small table to ~8 MB/partition before per-handle caching.
 
@@ -668,7 +686,12 @@ def _build_index_impl(
         # n_input_rows rides url_rank_ids' counts job — no second scan.
         ids, n_docs_assigned, n_input_rows = url_rank_ids(webtext)
         write(ids.select("docid", "url"), "doc_ids")
-        record("doc_ids", t0, rows=n_docs_assigned)
+        record(
+            "doc_ids",
+            t0,
+            rows=n_docs_assigned,
+            docs_per_sec=round(n_docs_assigned / max(time.time() - t0, 1e-9), 1),
+        )
     else:
         n_docs_assigned = n_input_rows = None
     ids_back = tables._read(spark, "doc_ids")
@@ -695,10 +718,38 @@ def _build_index_impl(
     if not done("postings"):
         t0 = time.time()
         blocks = build_postings_blocks(tokens, config)
+        # stage metrics (north rule: postings/sec + bytes compressed per
+        # partition, logged per stage) ride the write as observed metrics —
+        # no read-back aggregation job
+        from pyspark.sql import Observation
+
+        obs_p = Observation("postings_totals")
+        blocks = blocks.observe(
+            obs_p,
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("df").alias("n_postings"),
+            F.sum(
+                F.octet_length("gaps")
+                + F.octet_length("tfs")
+                + F.octet_length("dls")
+            ).alias("payload_bytes"),
+        )
         # partition-local sort of the encoded rows finishes the term-range
         # physical layout (row-group pruning); one write, no extra shuffle
         write(blocks.sortWithinPartitions("term", "block_id"), "postings")
-        record("postings", t0)
+        got = obs_p.get
+        dt = max(time.time() - t0, 1e-9)
+        record(
+            "postings",
+            t0,
+            rows=got["n_blocks"],
+            n_postings=int(got["n_postings"] or 0),
+            postings_per_sec=round((got["n_postings"] or 0) / dt, 1),
+            encoded_payload_bytes=int(got["payload_bytes"] or 0),
+            bytes_compressed_per_partition=_partition_file_bytes(
+                tables.path, "postings"
+            ),
+        )
 
     # ---- stage 3: vocabulary (VOCABULARY rebuild) --------------------------
     # NOTE: build-time reads use _read (uncached) — a persist here would pin
