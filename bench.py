@@ -49,9 +49,27 @@ BM25_QUERIES = [
 ]
 
 
+def _host_fault_mbps(mb: int = 100) -> float:
+    """First-touch page-fault throughput of the VM right now (MB/s).
+
+    The sandbox host's on-demand memory path degrades transiently by >100x
+    (committed probes: 6 MB/s to 5.9 GB/s within minutes). Recording it with
+    every bench run lets a reader tell a slow CODE path from a slow HOST
+    window (see BENCH/BASELINE.md protocol notes)."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.empty(mb * 1_000_000, dtype=np.uint8)
+    a[::4096] = 1
+    dt = time.time() - t0
+    del a
+    return round(mb / dt, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    health_before = _host_fault_mbps()
     spark = get_spark(app_name="themis-bench")
     timings: dict[str, float] = {}
     t_all = time.time()
@@ -140,6 +158,7 @@ def main() -> None:
         "bm25_p50_sec": round(bm25_times[len(bm25_times) // 2], 3),
         "wand_p50_sec": round(wand_times[len(wand_times) // 2], 3),
         "wand_paths": wand_paths,
+        "host_fault_mbps": [health_before, _host_fault_mbps()],
     }
     print(json.dumps(result))
 
