@@ -166,6 +166,18 @@ def minhash_signatures(
     Arrow child array (the permutation family is
     h_i(x) = (a_i·x + b_i) mod 2^61−1), chunked so the (H × chunk)
     intermediate stays ~32 MB regardless of batch shape."""
+    return _signatures_from_hashed(
+        _hashed_shingles(df, id_col, text_col, n), num_hashes, seed
+    )
+
+
+def _signatures_from_hashed(
+    hs_df: DataFrame, num_hashes: int = 128, seed: int = 0x5EED
+) -> DataFrame:
+    """MinHash signatures from a (doc_id, hs array<long>) shingle-hash frame.
+
+    Factored out of :func:`minhash_signatures` so the full dedup pipeline can
+    compute the shingle-hash frame ONCE and reuse it for verification."""
     a, b = _minhash_params(num_hashes, seed)
     empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
     chunk_shingles = max(1, (1 << 22) // num_hashes)  # H×chunk ≈ 32 MB u64
@@ -227,9 +239,7 @@ def minhash_signatures(
                 [docid_arr, sig_arr], names=["doc_id", "sig"]
             )
 
-    return _spread(
-        _hashed_shingles(df, id_col, text_col, n)
-    ).mapInArrow(gen, schema="doc_id long, sig array<long>")
+    return _spread(hs_df).mapInArrow(gen, schema="doc_id long, sig array<long>")
 
 
 def lsh_candidate_pairs(
@@ -239,8 +249,6 @@ def lsh_candidate_pairs(
 
     Rows per doc = num_bands (tiny); the join key is the hashed band slice, so
     head buckets are data-identical docs — exactly what we want colliding."""
-    rows_per_band = None  # inferred from sig length at runtime via slice
-
     sig_len = F.size(F.col("sig"))
     r = (sig_len / num_bands).cast("int")
     banded = signatures.select(
@@ -277,10 +285,16 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline with exact-Jaccard verification.
 
     Candidates are materialized (they are tiny relative to the corpus — LSH's
-    whole point), then the shingle table is cut to candidate docs with
-    semi-joins BEFORE the shared-shingle join, so verification cost scales
-    with the candidate set, not the corpus."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    whole point), then verified PAIR-LOCALLY: the per-doc distinct hashed
+    shingle arrays (the same frame the signatures are minhashed from) are
+    joined onto each (a, b) pair and the true Jaccard computed with
+    ``array_intersect`` — no shingle explode, no shared-shingle shuffle.
+    The exact-Jaccard value is identical to the string-shingle measure of
+    :func:`ngram_jaccard_pairs` modulo 64-bit hash collisions (pinned by
+    tests/test_gate_approx.py). Verification cost scales with the candidate
+    set, not the corpus: two joins keyed on the candidate pair ids."""
+    hs = _hashed_shingles(df, id_col, text_col, n)
+    sigs = _signatures_from_hashed(hs, num_hashes)
     candidates = lsh_candidate_pairs(sigs, num_bands).persist()
     candidates.count()  # materialize once; small
 
@@ -289,31 +303,22 @@ def minhash_dedup_pairs(
         .union(candidates.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    sh = (
-        df.join(cand_docs, df[id_col] == cand_docs["doc_id"], "left_semi")
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-        )
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    # recompute the shingle arrays for candidate docs only (one extra scan —
+    # cheaper and more scale-safe than persisting the corpus-wide frame)
+    cand_hs = hs.join(cand_docs, "doc_id", "left_semi")
+    a_hs = cand_hs.select(F.col("doc_id").alias("a"), F.col("hs").alias("hs_a"))
+    b_hs = cand_hs.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b"))
     # candidates is persisted: AQE sees its true (small) size and broadcasts;
     # no explicit broadcast hint — at extreme scale the candidate set may
     # legitimately exceed broadcast limits and must shuffle
-    inter = (
-        a.join(candidates, "a")
-        .join(b, ["shingle", "b"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_shingles").alias("size_a")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_shingles").alias("size_b")), "b")
+        candidates.join(a_hs, "a")
+        .join(b_hs, "b")
+        .withColumn("shared", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
-            F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+            F.col("shared")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
