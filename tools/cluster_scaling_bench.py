@@ -102,6 +102,26 @@ def cluster_session(cores_max: int, app_name: str):
         # arm ran 2x SLOWER than 1 executor with waits on — every stage over
         # the cached token frame serialized behind locality stalls.
         .config("spark.locality.wait", "0s")
+        # hang insurance, observed in the wild on this VM: the executor<->
+        # Python-worker Arrow socket can wedge at the KERNEL level (both
+        # directions' send queues full, zero CPU, no data movement for 25+
+        # min — loopback TCP stall, not a code deadlock; jstack shows the
+        # JVM in ReaderInputStream epoll, /proc/<worker>/stack shows the
+        # worker in sk_stream_wait_memory). Speculation re-runs the straggler
+        # on another executor and kills the wedged attempt. Only effective
+        # when a free slot exists (the multi-executor arm); a measured run
+        # costs at most one duplicated tail task, a wedge costs the bench.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.75")
+        # ...and prevention: route the executor<->worker Arrow stream over
+        # AF_UNIX instead of loopback TCP. The wedge above was a TCP
+        # flow-control stall (both peers blocked while both queues were
+        # full); unix sockets have no window/ACK machinery to stall. Shorter
+        # sub-minute stalls from the same cause also inflated whole arms
+        # (a 1M-doc 4-executor build measured 686s vs ~160s expected).
+        .config("spark.python.unix.domain.socket.enabled", "true")
+        .config("spark.python.unix.domain.socket.dir", "/dev/shm/pyuds")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
