@@ -186,6 +186,32 @@ def _run_arm(cores_max: int, corpus_path: str, warmup_path: str) -> dict:
         spark.stop()
 
 
+# The box's memory subsystem has WINDOWS like its page-fault path does:
+# measured same-day extremes of 1→4-worker stream-scaling efficiency are
+# 0.55 (absolute 115 MB/s/worker) to ~0.9+. The build's dominant stage is
+# stream-bound (ARCHITECTURE.md §8), so a pair measured in a collapsed
+# window reports the window, not the job — a fault-throughput floor alone
+# does not catch this (fault medians of 90+ GB/s coexisted with 0.55
+# stream scaling). Probe the hardware's own 1→4 scaling at each pair
+# boundary and require headroom before admitting the pair.
+HW_STREAM_EFF_FLOOR = 0.70
+
+
+def _hw_window() -> dict:
+    # stream scaling is the admission signal (the build's dominant stage is
+    # stream-bound); the box's pure-CPU 1→4 scaling measured a stable ~0.99
+    # across windows, so it is not re-probed per pair (a full hw_cpu_scaling
+    # is ~2-3 min of the pair budget for a constant)
+    from tools.scaling_bench import hw_mem_scaling
+
+    mem = hw_mem_scaling(1, 4)
+    return {
+        "stream_eff_1_4": mem["stream"]["efficiency"],
+        "stream_mbps_1": mem["stream"]["low_mbps"],
+        "alloc_eff_1_4": mem["alloc"]["efficiency"],
+    }
+
+
 def orchestrate(n_docs: int, pairs: int) -> None:
     corpus_path = _gen_corpus(n_docs)
     warmup_path = _gen_corpus(20000)
@@ -196,6 +222,7 @@ def orchestrate(n_docs: int, pairs: int) -> None:
     for i in range(pairs * 3):
         if accepted >= pairs:
             break
+        hw = _hw_window()
         a, b = (low, high) if i % 2 == 0 else (high, low)
         schedule = (a, b, b, a)  # ABBA-min: see tools/scaling_bench.py
         runs: dict[int, list[dict]] = {low: [], high: []}
@@ -212,7 +239,8 @@ def orchestrate(n_docs: int, pairs: int) -> None:
             c: (statistics.median(s) if s else 0.0)
             for c, s in arm_health.items()
         }
-        ok = all(m >= HEALTH_FLOOR_MBPS for m in med.values())
+        hw_ok = hw["stream_eff_1_4"] >= HW_STREAM_EFF_FLOOR
+        ok = all(m >= HEALTH_FLOOR_MBPS for m in med.values()) and hw_ok
         accepted += ok
         speedup = lo["build_sec"] / hi["build_sec"]
         row = {
@@ -230,6 +258,8 @@ def orchestrate(n_docs: int, pairs: int) -> None:
             ),
             "arm_fault_mbps": {str(c): s for c, s in arm_health.items()},
             "arm_fault_median": {str(c): round(m, 1) for c, m in med.items()},
+            "hw_window": hw,
+            "hw_scaling_ok": hw_ok,
             "healthy": ok,
         }
         pair_rows.append(row)
