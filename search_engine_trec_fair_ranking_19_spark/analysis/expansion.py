@@ -7,10 +7,20 @@ The reference ships two expanders backed by external artifacts:
     POS-tagged synonym lookup via extjwnl.
 
 Those model files are external data (not available here, and out of scope per
-the build rules), so the *models* are stubs gated behind import/availability
-checks — but the expansion **pipeline semantics** (`Search.java:241-269`, E3)
-are fully implemented and tested against a deterministic table-driven
-expander:
+the build rules). Each has a real in-repo path that needs no artifact:
+
+  * E1 (GloVe): `mine_synonym_table` below mines synonym candidates from the
+    corpus itself (document co-occurrence PMI) — gate-tested end-to-end;
+  * E2 (WordNet): `analysis/wordnet.py` implements the reference's exact
+    POS-routed synset semantics over any standard WordNet ``dict/`` read
+    directly in the public wndb(5) format, with a deterministic rule tagger
+    standing in for the (non-redistributable) Maxent model — pytest-pinned
+    against a synthetic mini-database in the same format.
+
+The `GloVeExpander` class itself stays a stub (dl4j ``wordsNearest`` needs
+the embeddings file), and the expansion **pipeline semantics**
+(`Search.java:241-269`, E3) are fully implemented and tested against a
+deterministic table-driven expander:
 
   * every candidate list is generated per ORIGINAL query token (pre-
     normalization — the reference expands raw tokens, `Search.java:243`);
@@ -95,15 +105,10 @@ class GloVeExpander:
         )
 
 
-class WordNetExpander:
-    """STUB — requires the external WordNet DB + POS tagger
-    (`WordNet.java:38-50`). Not available in this environment."""
-
-    def __init__(self, wordnet_path: str | None = None):
-        raise NotImplementedError(
-            "WordNet expansion needs the external WordNet database; supply a "
-            "SynonymTableExpander instead"
-        )
+# Real E2: POS-routed synset lookup over a user-supplied WordNet dict/
+# directory, read directly in the public wndb(5) format (no extjwnl).
+# See analysis/wordnet.py for the full semantics (WordNet.java:52-137).
+from .wordnet import WordNetExpander  # noqa: E402,F401
 
 
 def mine_synonym_table(

@@ -380,6 +380,66 @@ def q_expansion_topk(spark, sf_dir):
     return _rounded(full, k=50)
 
 
+# E2 gate fixture: a deterministic mini WordNet over CORPUS vocabulary, in
+# the real wndb(5) file format the reader parses. Lemmas are Porter fixed
+# points so the DuckDB oracle (which has no stemmer) can re-derive the E3
+# output by comparing raw forms. The synsets deliberately exercise every
+# WordNet.java:85-97 path: per-synset cap of 3 (cuts 'block'), stopword
+# member skipped without counting ('the'), the original lemma re-appearing
+# in each sense (E3 last-emitted dedup), and a multiword lemma
+# ('big data' — counted at the expander, dropped by E3's multiword filter).
+_WN_GATE_SYNSETS = {
+    ("spark", 1): ["spark", "web", "the", "rank", "block"],
+    ("spark", 2): ["spark", "crawl"],
+    ("data", 1): ["data", "big_data", "text"],
+}
+
+
+def _demo_wordnet_dir() -> str:
+    d = os.path.join(tempfile.gettempdir(), "themis_gate_wndb")
+    os.makedirs(d, exist_ok=True)
+    senses: dict[str, list[int]] = {}
+    data_lines = []
+    for i, ((term, sense), lemmas) in enumerate(sorted(_WN_GATE_SYNSETS.items())):
+        off = 1000 + i * 100
+        senses.setdefault(term, []).append(off)
+        words = " ".join(f"{w} 0" for w in lemmas)
+        data_lines.append(
+            f"{off:08d} 03 n {len(lemmas):02x} {words} 000 | gate fixture"
+        )
+    index_lines = [
+        f"{term} n {len(offs)} 0 {len(offs)} 0 "
+        + " ".join(f"{o:08d}" for o in offs)
+        for term, offs in sorted(senses.items())
+    ]
+    with open(os.path.join(d, "index.noun"), "w") as f:
+        f.write("".join(l + "  \n" for l in index_lines))
+    with open(os.path.join(d, "data.noun"), "w") as f:
+        f.write("".join(l + "  \n" for l in data_lines))
+    for pos in ("verb", "adj", "adv"):
+        for kind in ("index", "data"):
+            open(os.path.join(d, f"{kind}.{pos}"), "w").close()
+    return d
+
+
+def q_expansion_wordnet(spark, sf_dir):
+    """E2 end-to-end: the real wndb(5) reader + POS-routed synset expansion
+    (`WordNet.java:52-137`) over the gate fixture dictionary, fed through E3
+    and ranked with BM25+. The DuckDB oracle re-derives the expansion from
+    the same synset relation (VALUES) with an independent SQL implementation
+    of the per-synset cap, stopword skip, and E3 selection, then re-ranks."""
+    from search_engine_trec_fair_ranking_19_spark.analysis.wordnet import (
+        WordNetExpander,
+    )
+
+    t = gate_index(spark, sf_dir)
+    exp = WordNetExpander(_demo_wordnet_dir())
+    full = q.bm25_topk(
+        spark, t, " ".join(_EXPANSION_Q), k=None, expander=exp
+    )
+    return _rounded(full, k=50)
+
+
 def _synthetic_links(spark, t):
     """Deterministic link table over the gate index: two modular targets per
     doc (guaranteed in-collection, with occasional self-loops/duplicates) plus
@@ -658,6 +718,7 @@ QUERIES = {
     "postings_roundtrip": q_postings_decoded,
     "term_tf_matrix": q_term_tf_matrix,
     "expansion_topk": q_expansion_topk,
+    "expansion_wordnet": q_expansion_wordnet,
     "pagerank": q_pagerank,
     "graph_stats": q_graph_stats,
     "degree_histograms": q_degree_histograms,
@@ -679,6 +740,48 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_features": q_multimodal_features,
 }
+
+# shared scoring tail for expansion oracles: merged (term, weight) rows in
+# `qraw` → weighted BM25+ with max-normalization, top-50
+_W_BM25_TAIL = """qm AS (SELECT term, sum(weight) AS weight FROM qraw GROUP BY term),
+qidf AS (
+  SELECT qm.term, qm.weight,
+         ln((SELECT n FROM cs) / (1.0 + coalesce(v.df, 0))) AS idf
+  FROM qm LEFT JOIN vocab v USING (term)
+),
+matched AS (
+  SELECT tf.docid,
+         sum(q.idf * (tf.tf * q.weight * 3.0 /
+             (tf.tf * q.weight + 2.0 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM cs)))))
+           AS contrib
+  FROM tf JOIN qidf q USING (term) JOIN dl USING (docid)
+  GROUP BY tf.docid
+),
+raw AS (
+  SELECT docid, contrib + (SELECT sum(idf) FROM qidf) AS raw FROM matched
+),
+mx AS (SELECT CASE WHEN max(raw) <= 0 THEN 1.0 ELSE max(raw) END AS m FROM raw)
+SELECT docid, round(raw / (SELECT m FROM mx), 6) AS score FROM raw
+ORDER BY score DESC, docid ASC LIMIT 50"""
+
+_WN_GATE_VALUES = ", ".join(
+    f"('{term}', {sense}, {i}, '{lemma.replace('_', ' ')}')"
+    for (term, sense), lemmas in sorted(_WN_GATE_SYNSETS.items())
+    for i, lemma in enumerate(lemmas)
+)
+from .analysis.stopwords import STOPWORDS as _SW  # noqa: E402
+
+_WN_GATE_STOPWORDS = ", ".join(
+    f"('{w}')"
+    for w in sorted(
+        {
+            lemma
+            for lemmas in _WN_GATE_SYNSETS.values()
+            for lemma in lemmas
+            if lemma in _SW
+        }
+    )
+) or "('')"
 
 _EN = ", ".join(f"'{m}'" for m in ta.LANG_MARKERS["en"])
 _DE = ", ".join(f"'{m}'" for m in ta.LANG_MARKERS["de"])
@@ -984,26 +1087,41 @@ qraw AS (
   FROM (VALUES {_EXPANSION_VALUES}) AS q(term)
   JOIN syn s ON s.ta = q.term AND s.rnk = 1
 ),
-qm AS (SELECT term, sum(weight) AS weight FROM qraw GROUP BY term),
-qidf AS (
-  SELECT qm.term, qm.weight,
-         ln((SELECT n FROM cs) / (1.0 + coalesce(v.df, 0))) AS idf
-  FROM qm LEFT JOIN vocab v USING (term)
+{_W_BM25_TAIL}
+""",
+    "expansion_wordnet": f"""
+WITH {_BASE_CTES},
+-- the gate fixture synset relation (same DATA the wndb files encode; the
+-- expansion LOGIC below is an independent SQL re-implementation of
+-- WordNet.java:85-97 + Search.java:241-269)
+wn(term, sense, word_idx, lemma) AS (VALUES {_WN_GATE_VALUES}),
+sw(word) AS (VALUES {_WN_GATE_STOPWORDS}),
+capped AS (
+  -- per-synset counter: stopword lemmas skipped WITHOUT counting, then at
+  -- most 3 lemmas survive per sense (WordNet.java:87-96)
+  SELECT term, sense, word_idx, lemma,
+         row_number() OVER (PARTITION BY term, sense ORDER BY word_idx)
+           AS caprank
+  FROM wn WHERE lower(lemma) NOT IN (SELECT word FROM sw)
 ),
-matched AS (
-  SELECT tf.docid,
-         sum(q.idf * (tf.tf * q.weight * 3.0 /
-             (tf.tf * q.weight + 2.0 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM cs)))))
-           AS contrib
-  FROM tf JOIN qidf q USING (term) JOIN dl USING (docid)
-  GROUP BY tf.docid
+chosen AS (
+  -- E3 over [original, candidates...]: the original is always emitted, so
+  -- the single surviving expansion is the FIRST capped candidate in sense
+  -- order that is single-word and differs from the original (fixture lemmas
+  -- are Porter fixed points, so raw comparison = stemmed comparison)
+  SELECT term, lemma,
+         row_number() OVER (PARTITION BY term ORDER BY sense, word_idx) AS rk
+  FROM capped
+  WHERE caprank <= 3 AND lemma NOT LIKE '% %' AND lemma <> term
 ),
-raw AS (
-  SELECT docid, contrib + (SELECT sum(idf) FROM qidf) AS raw FROM matched
+qraw AS (
+  SELECT term, 1.0 AS weight FROM (VALUES {_EXPANSION_VALUES}) AS qq(term)
+  UNION ALL
+  SELECT c.lemma, 0.5
+  FROM (VALUES {_EXPANSION_VALUES}) AS qq(term)
+  JOIN chosen c ON c.term = qq.term AND c.rk = 1
 ),
-mx AS (SELECT CASE WHEN max(raw) <= 0 THEN 1.0 ELSE max(raw) END AS m FROM raw)
-SELECT docid, round(raw / (SELECT m FROM mx), 6) AS score FROM raw
-ORDER BY score DESC, docid ASC LIMIT 50
+{_W_BM25_TAIL}
 """,
     "pagerank": _pagerank_sql(_PR_GATE_ITERS),
     "multimodal_features": """

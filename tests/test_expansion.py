@@ -100,11 +100,13 @@ def test_expansion_normalized_like_originals():
     assert got == [("fast", 1.0), ("run", 0.5)]
 
 
-def test_external_model_stubs_raise():
+def test_external_model_stub_and_missing_db_raise():
     with pytest.raises(NotImplementedError):
         GloVeExpander()
-    with pytest.raises(NotImplementedError):
-        WordNetExpander()
+    # WordNet is a real implementation now (analysis/wordnet.py) — it fails
+    # loudly when pointed at a missing dict directory
+    with pytest.raises(FileNotFoundError):
+        WordNetExpander("/nonexistent/wordnet/dict")
 
 
 CFG = EngineConfig(postings_block_size=64)
