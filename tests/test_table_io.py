@@ -50,6 +50,45 @@ def test_iceberg_io_requires_configured_catalog(spark):
     assert io.qualified("postings") == "lake.idx.postings"
 
 
+def _iceberg_on_classpath(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_io_end_to_end_when_runtime_present(spark, tmp_path):
+    """Full build→query through a real Iceberg hadoop catalog. SKIPS when the
+    iceberg-spark-runtime jar is absent (this environment vendors no jars and
+    has no network) — on any host with the jar on the Spark classpath this
+    runs as-is: catalog confs are set at runtime, the warehouse is a tmp dir.
+    """
+    if not _iceberg_on_classpath(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the Spark classpath")
+    spark.conf.set(
+        "spark.sql.catalog.it_lake", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.it_lake.type", "hadoop")
+    spark.conf.set(
+        "spark.sql.catalog.it_lake.warehouse", str(tmp_path / "warehouse")
+    )
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS it_lake.idx")
+    io = IcebergIO(catalog="it_lake", namespace="idx")
+    webtext = corpus_spark(spark, 80, seed=31, n_partitions=2)
+    tables = build_index(spark, webtext, str(tmp_path / "ice_idx"), CFG,
+                         table_io=io)
+    for name in ("doc_ids", "postings", "vocabulary", "doc_stats"):
+        assert io.exists(spark, name)
+        assert io.read(spark, name).count() > 0
+    # overwrite = new snapshot, readers see the replaced table atomically
+    io.overwrite(io.read(spark, "doc_ids").limit(10), "doc_ids")
+    assert io.read(spark, "doc_ids").count() == 10
+    assert bm25_topk(spark, tables, "web search", k=5).count() > 0
+
+
 # ---------------------------------------------------------------------------
 # SnapshotDirIO — atomic snapshot semantics on plain dirs
 # ---------------------------------------------------------------------------
