@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..session import local_rows_df
 from .index_build import IndexTables
-from .query import bm25_topk, vsm_topk
+from .query import bm25_topk, bm25_topk_batch, vsm_topk
 
 
 def read_judgments(
@@ -109,11 +109,8 @@ def evaluate(
             rel_map = judgments.get(qid, {})
             total_rel = sum(1 for v in rel_map.values() if v == 1)
             pairs = jmap.get(qid, [])
-            if total_rel == 0:
-                ap, nd = float("nan"), float("nan")
-            elif not pairs:
-                ap, nd = 0.0, 0.0
-            else:
+            agg = None
+            if total_rel > 0 and pairs:
                 pj = local_rows_df(spark, pairs, "docid long, rel int")
                 judged = topk.join(F.broadcast(pj), "docid").select(
                     "rel",
@@ -138,16 +135,17 @@ def evaluate(
                         )
                     ).alias("dcg"),
                 ).head()
-                ap = float(agg["ap_num"] or 0.0) / total_rel
-                idcg = sum(
-                    math.log(2) / math.log(i + 1)
-                    for i in range(1, total_rel + 1)
-                )
-                nd = float(agg["dcg"] or 0.0) / idcg
+            ap, nd = _ap_ndcg(agg, rel_map, bool(pairs))
         finally:
             topk.unpersist()
         dt = time.time() - t0
         rows.append((qid, qtext, float(ap), float(nd), n_results, dt))
+    return _per_query_df_and_summary(spark, rows)
+
+
+def _per_query_df_and_summary(
+    spark: SparkSession, rows: list[tuple]
+) -> tuple[DataFrame, dict]:
     per_query = local_rows_df(
         spark,
         rows, "qid int, query string, avep double, ndcg double, n_results int, seconds double"
@@ -168,3 +166,103 @@ def evaluate(
         "max_seconds": max(times) if times else 0.0,
     }
     return per_query, summary
+
+
+def _ap_ndcg(
+    agg_row, rel_map: dict, has_pairs: bool
+) -> tuple[float, float]:
+    """Driver-side AP/nDCG from the distributed (ap_num, dcg) scalars —
+    shared by the sequential and batch paths (`ThemisEval.java:220-280`)."""
+    total_rel = sum(1 for v in rel_map.values() if v == 1)
+    if total_rel == 0:
+        return float("nan"), float("nan")
+    if not has_pairs or agg_row is None:
+        return 0.0, 0.0
+    ap = float(agg_row["ap_num"] or 0.0) / total_rel
+    idcg = sum(
+        math.log(2) / math.log(i + 1) for i in range(1, total_rel + 1)
+    )
+    nd = float(agg_row["dcg"] or 0.0) / idcg
+    return ap, nd
+
+
+def evaluate_batch(
+    spark: SparkSession,
+    tables: IndexTables,
+    queries: list[tuple[int, str]],
+    judgments: dict[int, dict[str, int]],
+    k: int | None = None,
+    pagerank_weight: float = 0.0,
+) -> tuple[DataFrame, dict]:
+    """`evaluate()` semantics over ONE distributed plan for the whole query
+    set (BM25 model): rankings come from :func:`bm25_topk_batch` (one
+    postings pass for all queries), judged ranks from a qid-partitioned
+    window, and exactly TWO scalars-per-query actions run regardless of
+    query count — per-qid result counts and per-qid (AP numerator, DCG).
+
+    The reference loops 635 queries sequentially (`ThemisEval.java:136-180`);
+    on a cluster that serializes 635 job round-trips. This is the amortized
+    shape: identical AP/nDCG per query (pytest-pinned against `evaluate`),
+    with the `seconds` column reporting the batch wall-clock split evenly —
+    per-query timing is not observable inside a shared plan (use
+    ``evaluate`` when per-query latency is the measurement).
+    """
+    t0 = time.time()
+    jmap = _resolve_judged_docids(spark, tables, judgments)
+    ranked = bm25_topk_batch(
+        spark, tables, queries, k=k, pagerank_weight=pagerank_weight
+    ).persist()
+    try:
+        counts = {
+            r["qid"]: int(r["n"])
+            for r in ranked.groupBy("qid").agg(F.count("*").alias("n")).collect()
+        }
+        agg_map: dict[int, object] = {}
+        pair_rows = [
+            (qid, docid, rel)
+            for qid, prs in jmap.items()
+            for docid, rel in prs
+        ]
+        if pair_rows:
+            pj = local_rows_df(
+                spark, pair_rows, "qid int, docid long, rel int"
+            )
+            order = (F.desc("score"), F.asc("docid"))
+            w_rank = Window.partitionBy("qid").orderBy(*order)
+            w_run = w_rank.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            judged = ranked.join(F.broadcast(pj), ["qid", "docid"]).select(
+                "qid",
+                "rel",
+                F.row_number().over(w_rank).alias("judged_rank"),
+                F.sum(F.when(F.col("rel") == 1, 1).otherwise(0))
+                .over(w_run)
+                .alias("rel_so_far"),
+            )
+            for r in judged.groupBy("qid").agg(
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.col("rel_so_far") / F.col("judged_rank").cast("double"),
+                    )
+                ).alias("ap_num"),
+                F.sum(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.log(F.lit(2.0)) / F.log(F.col("judged_rank") + F.lit(1.0)),
+                    )
+                ).alias("dcg"),
+            ).collect():
+                agg_map[int(r["qid"])] = r
+    finally:
+        ranked.unpersist()
+    dt = time.time() - t0
+    per = dt / len(queries) if queries else 0.0
+    rows = []
+    for qid, qtext in queries:
+        ap, nd = _ap_ndcg(
+            agg_map.get(qid), judgments.get(qid, {}), bool(jmap.get(qid))
+        )
+        rows.append((qid, qtext, float(ap), float(nd), counts.get(qid, 0), per))
+    return _per_query_df_and_summary(spark, rows)

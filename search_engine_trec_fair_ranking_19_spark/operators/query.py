@@ -25,7 +25,7 @@ import math
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -295,6 +295,125 @@ def _bm25_raw(
         .groupBy("docid")
         .agg((F.sum("contrib") + F.lit(sum(pq.idfs))).alias("raw"))
     )
+
+
+BATCH_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.IntegerType(), False),
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def bm25_topk_batch(
+    spark: SparkSession,
+    tables: IndexTables,
+    queries: list[tuple[int, str]],
+    k: int | None = 10,
+    pagerank_weight: float | None = None,
+    config: EngineConfig | None = None,
+    expander=None,
+) -> DataFrame:
+    """N queries → ONE distributed pass: (qid, docid, score), rank-identical
+    per qid to :func:`bm25_topk` run query-by-query.
+
+    The reference's evaluation workload runs 635 queries sequentially
+    (`ThemisEval.java:136-180`, one full ranking each). On a cluster that
+    leaves the executors idle between driver round-trips; this operator
+    amortizes the whole batch over a single plan:
+
+      * one postings scan pruned to the UNION of all query terms (the
+        pushed-IN filter covers the batch, so shared head terms decode once);
+      * per-query weights/idfs ride a broadcast (qid, term, weight, idf)
+        frame — at batch size a real broadcast join beats N literal-map
+        plans, inverting the single-query design choice (`_lit_map`);
+      * scoring aggregates by (qid, docid) — one shuffle for the batch; the
+        per-query additive Σidf constant (`OkapiBM25P.java:40-43` δ-term)
+        joins back on qid from a second driver-sized broadcast;
+      * max-normalization and tie-broken top-k are per-qid WINDOW functions
+        over the same qid-partitioned exchange — no per-query jobs at all.
+
+    Queries whose analyzed term list is empty, or whose terms match no
+    postings, contribute no output rows (the per-query path returns an empty
+    frame for them). With ``pagerank_weight > 0`` the blend normalizes
+    PageRank by each query's own result-set maximum, exactly like
+    `_finalize`. Output is not globally sorted; sort or window per qid at
+    the call site if presentation order matters.
+    """
+    config = config or tables.config
+    if pagerank_weight is None:
+        pagerank_weight = config.pagerank_weight
+    pqs: dict[int, PreparedQuery] = {}
+    for qid, text in queries:
+        pq = prepare_query(spark, tables, text, config, expander=expander)
+        if pq.terms:
+            pqs[qid] = pq
+    if not pqs:
+        return _local_df(spark, [], BATCH_TOPK_SCHEMA)
+
+    union_terms = sorted({t for pq in pqs.values() for t, _ in pq.terms})
+    posting = matched_postings(spark, tables, union_terms)
+
+    qt = _local_df(
+        spark,
+        [
+            (qid, t, float(w), float(idf))
+            for qid, pq in pqs.items()
+            for (t, w), idf in zip(pq.terms, pq.idfs)
+        ],
+        "qid int, term string, weight double, idf double",
+    )
+    qsum = _local_df(
+        spark,
+        [(qid, float(sum(pq.idfs))) for qid, pq in pqs.items()],
+        "qid int, sum_idf double",
+    )
+
+    k1, b = config.bm25_k1, config.bm25_b
+    avgdl = next(iter(pqs.values())).avgdl
+    f = F.col("tf") * F.col("weight")
+    B = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    raw = (
+        posting.join(F.broadcast(qt), "term")
+        .withColumn("contrib", F.col("idf") * (f * F.lit(k1 + 1.0) / (f + B)))
+        .groupBy("qid", "docid")
+        .agg(F.sum("contrib").alias("contrib"))
+        .join(F.broadcast(qsum), "qid")
+        .select("qid", "docid", (F.col("contrib") + F.col("sum_idf")).alias("raw"))
+    )
+
+    wq = Window.partitionBy("qid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the reference forces max to 1.0 when nothing beats 0
+    # (OkapiBM25P.java:91-94)
+    mx = F.max("raw").over(wq)
+    mx = F.when(mx <= 0.0, F.lit(1.0)).otherwise(mx)
+    scored = raw.withColumn("score", F.col("raw") / mx)
+
+    if pagerank_weight != 0.0:
+        pr = tables.pagerank(spark)
+        scored = (
+            scored.join(pr, "docid", "left")
+            .withColumn("pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0)))
+        )
+        max_pr = F.max("pagerank").over(wq)
+        max_pr = F.when(
+            max_pr.isNull() | (max_pr == 0.0), F.lit(1.0)
+        ).otherwise(max_pr)
+        scored = scored.withColumn(
+            "score",
+            F.col("score") * F.lit(1.0 - pagerank_weight)
+            + (F.col("pagerank") / max_pr) * F.lit(pagerank_weight),
+        )
+
+    if k is not None:
+        rn = F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        )
+        scored = scored.withColumn("__rn", rn).filter(F.col("__rn") <= k)
+    return scored.select("qid", "docid", "score")
 
 
 def bm25_topk_wand(

@@ -9,6 +9,7 @@ import pytest
 from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
 from search_engine_trec_fair_ranking_19_spark.operators.evaluate import (
     evaluate,
+    evaluate_batch,
     read_judgments,
 )
 from search_engine_trec_fair_ranking_19_spark.operators.index_build import build_index
@@ -69,3 +70,40 @@ def test_evaluate_matches_oracle_metrics(spark, tmp_path):
 
     assert summary["n_queries"] == 3
     assert 0.0 <= summary["avg_avep"] <= 1.0
+
+
+def test_evaluate_batch_matches_sequential(spark, tmp_path):
+    n = 200
+    pdf = corpus_pandas(n, seed=31)
+    webtext = corpus_spark(spark, n, seed=31, n_partitions=3)
+    t = build_index(spark, webtext, str(tmp_path / "evalbidx"), CFG)
+
+    urls = sorted(pdf["url"])
+    rel = {u: (1 if i % 4 == 0 else 0) for i, u in enumerate(urls) if i % 2 == 0}
+    queries = [
+        (1, "web search"),
+        (2, "w00000"),
+        (3, "zzznotfound"),       # OOV: empty result set
+        (4, "the and of"),        # stopword-only: no terms at all
+    ]
+    judgments = {1: rel, 2: rel, 3: rel, 4: {}}
+
+    seq, seq_sum = evaluate(spark, t, queries, judgments, model="bm25", k=None)
+    bat, bat_sum = evaluate_batch(spark, t, queries, judgments, k=None)
+    s = {r["qid"]: r for r in seq.collect()}
+    b = {r["qid"]: r for r in bat.collect()}
+    assert set(s) == set(b) == {1, 2, 3, 4}
+    for qid in s:
+        assert b[qid]["n_results"] == s[qid]["n_results"], f"qid {qid}"
+        for col in ("avep", "ndcg"):
+            if math.isnan(s[qid][col]):
+                assert math.isnan(b[qid][col]), f"qid {qid} {col}"
+            else:
+                assert b[qid][col] == pytest.approx(s[qid][col], abs=1e-9), (
+                    f"qid {qid} {col}"
+                )
+    for key in ("avg_avep", "avg_ndcg", "min_avep", "max_ndcg"):
+        if math.isnan(seq_sum[key]):
+            assert math.isnan(bat_sum[key])
+        else:
+            assert bat_sum[key] == pytest.approx(seq_sum[key], abs=1e-9)

@@ -191,3 +191,70 @@ def test_topk_result_is_single_slice(spark, tables):
         q.bm25_topk(spark, tables, "zzz-no-such-term", k=5),  # empty frame
     ):
         assert df.rdd.getNumPartitions() == 1
+
+
+# ---------------------------------------------------------------------------
+# Batch retrieval: one distributed pass over N queries, rank-identical per
+# qid to the sequential path
+# ---------------------------------------------------------------------------
+
+
+def _batch_by_qid(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+    for qid in out:
+        out[qid].sort(key=lambda p: (-p[1], p[0]))
+    return out
+
+
+def test_bm25_batch_matches_sequential(spark, tables):
+    batch = _batch_by_qid(
+        q.bm25_topk_batch(spark, tables, list(enumerate(QUERIES)), k=10)
+    )
+    for qid, query in enumerate(QUERIES):
+        exp = [
+            (r["docid"], r["score"])
+            for r in q.bm25_topk(spark, tables, query, k=10).collect()
+        ]
+        got = batch.get(qid, [])
+        assert [d for d, _ in got] == [d for d, _ in exp], (
+            f"qid {qid} ({query!r}): got {got[:5]} want {exp[:5]}"
+        )
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9), f"qid {qid} doc {gd}"
+    # stopword-only query contributes no rows at all
+    assert 3 not in batch
+
+
+def test_bm25_batch_full_ranking_and_blend(spark, tables):
+    qs = [(7, "web page"), (9, "w00000 search")]
+    batch = _batch_by_qid(q.bm25_topk_batch(spark, tables, qs, k=None))
+    for qid, query in qs:
+        exp = [
+            (r["docid"], r["score"])
+            for r in q.bm25_topk(spark, tables, query, k=None).collect()
+        ]
+        assert batch[qid] == [
+            (d, pytest.approx(s, abs=1e-9)) for d, s in exp
+        ], f"qid {qid} full ranking diverged"
+    blended = _batch_by_qid(
+        q.bm25_topk_batch(spark, tables, qs, k=15, pagerank_weight=0.25)
+    )
+    for qid, query in qs:
+        exp = [
+            (r["docid"], r["score"])
+            for r in q.bm25_topk(
+                spark, tables, query, k=15, pagerank_weight=0.25
+            ).collect()
+        ]
+        got = blended[qid]
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9), f"qid {qid} doc {gd}"
+
+
+def test_bm25_batch_all_empty_queries(spark, tables):
+    out = q.bm25_topk_batch(spark, tables, [(0, "the and of")], k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "docid", "score"]

@@ -195,6 +195,9 @@ def _run_arm(cores_max: int, corpus_path: str, warmup_path: str) -> dict:
 # stream scaling). Probe the hardware's own 1→4 scaling at each pair
 # boundary and require headroom before admitting the pair.
 HW_STREAM_EFF_FLOOR = 0.70
+# max allowed ratio between the two arms' in-flight fault medians — arms
+# measured in dissimilar host windows compare hosts, not topologies
+ARM_SYMMETRY_MAX = 4.0
 
 
 def _hw_window() -> dict:
@@ -240,7 +243,17 @@ def orchestrate(n_docs: int, pairs: int) -> None:
             for c, s in arm_health.items()
         }
         hw_ok = hw["stream_eff_1_4"] >= HW_STREAM_EFF_FLOOR
-        ok = all(m >= HEALTH_FLOOR_MBPS for m in med.values()) and hw_ok
+        # both arms must also see COMPARABLE windows: a measured pair where
+        # one arm ran at 95 GB/s fault throughput and the other at 6.8 GB/s
+        # passed the absolute floor yet compared two different hosts — the
+        # ratio such a pair produces is window skew, not job scaling
+        meds = list(med.values())
+        symmetric = max(meds) <= ARM_SYMMETRY_MAX * max(min(meds), 1e-9)
+        ok = (
+            all(m >= HEALTH_FLOOR_MBPS for m in med.values())
+            and hw_ok
+            and symmetric
+        )
         accepted += ok
         speedup = lo["build_sec"] / hi["build_sec"]
         row = {
@@ -260,6 +273,7 @@ def orchestrate(n_docs: int, pairs: int) -> None:
             "arm_fault_median": {str(c): round(m, 1) for c, m in med.items()},
             "hw_window": hw,
             "hw_scaling_ok": hw_ok,
+            "arm_windows_symmetric": symmetric,
             "healthy": ok,
         }
         pair_rows.append(row)
