@@ -117,6 +117,13 @@ def main() -> None:
         t0 = time.time()
         q.existential(spark, tables, BM25_QUERIES[2]).count()
         timings["existential"] = time.time() - t0
+        # the whole BM25 query set as ONE plan — compare against
+        # sum(bm25_q*) to read the batch amortization directly
+        t0 = time.time()
+        q.bm25_topk_batch(
+            spark, tables, list(enumerate(BM25_QUERIES, 1)), k=20
+        ).collect()
+        timings["bm25_batch_5q"] = time.time() - t0
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
