@@ -1,0 +1,89 @@
+"""Physical-plan regression pins — scale properties asserted as tests.
+
+Correctness gates prove WHAT the operators compute; these pin HOW Catalyst
+executes them, so a refactor that silently adds a shuffle, drops a
+broadcast, or un-pushes the rank limit fails CI instead of surfacing as a
+10x regression at 100x the data.
+"""
+
+import pytest
+
+from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
+from search_engine_trec_fair_ranking_19_spark.operators import query as q
+from search_engine_trec_fair_ranking_19_spark.operators.index_build import (
+    build_index,
+)
+from search_engine_trec_fair_ranking_19_spark.sources.webtext import (
+    corpus_spark,
+)
+
+CFG = EngineConfig(postings_block_size=64)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    webtext = corpus_spark(spark, 150, seed=19, n_partitions=3)
+    return build_index(
+        spark, webtext, str(tmp_path_factory.mktemp("planidx")), CFG
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_batch_plan_two_shuffles_and_group_limit(spark, tables):
+    """bm25_topk_batch: ONE (qid,docid) agg exchange + ONE qid window
+    exchange for ANY number of queries; both query-side frames broadcast;
+    the per-qid top-k rank filter is pushed into the sort
+    (WindowGroupLimit), so no partition materializes more than k rows per
+    qid before filtering."""
+    df = q.bm25_topk_batch(
+        spark, tables, [(1, "web search"), (2, "w00001 page"), (3, "engine")],
+        k=10,
+    )
+    plan = _plan(df)
+    # AQE wraps exchanges; count the shuffle origins
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 2, f"expected 2 shuffles, got {n_shuffles}:\n{plan}"
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequential_topk_is_take_ordered(spark, tables):
+    """Bounded-k BM25: the final order+limit must be TakeOrderedAndProject
+    (per-partition bounded heaps + driver merge), never a global sort."""
+    pq = q.prepare_query(spark, tables, "web search", CFG)
+    posting = q.matched_postings(spark, tables, [t for t, _ in pq.terms])
+    raw = q._bm25_raw(spark, posting, pq, CFG)
+    plan = _plan(raw.orderBy("raw").limit(10))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scoring_stage_has_no_join(spark, tables):
+    """Single-query scoring attaches weights/idfs as literal-map lookups —
+    the raw-score plan must contain NO join of any kind (round-2 finding:
+    a broadcast join here cost one extra job per query)."""
+    pq = q.prepare_query(spark, tables, "web search engine", CFG)
+    posting = q.matched_postings(spark, tables, [t for t, _ in pq.terms])
+    plan = _plan(q._bm25_raw(spark, posting, pq, CFG))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_postings_scan_prunes_to_term_filter(spark, tables):
+    """matched_postings must push the term IN-filter to the postings scan
+    (cached: InMemoryTableScan filter pushdown; cold parquet: PushedFilters)
+    rather than decode-then-filter."""
+    df = q.matched_postings(spark, tables, ["web", "search"])
+    plan = _plan(df)
+    # the Filter must sit below the decode (FlatMapsInPandas/ArrowEvalPython
+    # variants) in the string rendering = appear AFTER it top-down
+    decode_pos = max(plan.find("Arrow"), plan.find("FlatMap"), plan.find("Eval"))
+    filter_pos = plan.find("term#")
+    assert filter_pos != -1
+    assert "in(term" in plan.lower() or "term" in plan, plan
+    assert decode_pos != -1 and plan.find("Filter", decode_pos) != -1 or (
+        "InMemoryTableScan" in plan
+    ), plan
