@@ -300,6 +300,19 @@ def q_vsm_topk(spark, sf_dir):
     return _rounded(full, k=50)
 
 
+def q_vsm_batch(spark, sf_dir):
+    """VSM batch retrieval — one plan for three queries, per-qid identical
+    to the sequential vsm gate; oracle unions the per-query VSM SQL."""
+    t = gate_index(spark, sf_dir)
+    batch = q.vsm_topk_batch(
+        spark,
+        t,
+        [(1, " ".join(_VSM_Q)), (2, " ".join(_Q1)), (3, " ".join(_EX_Q))],
+        k=50,
+    )
+    return batch.withColumn("score", F.round("score", 6))
+
+
 def q_existential(spark, sf_dir):
     t = gate_index(spark, sf_dir)
     return q.existential(spark, t, " ".join(_EX_Q)).select("docid", "score")
@@ -750,6 +763,7 @@ QUERIES = {
     "bm25_batch_topk": q_bm25_batch,
     "bm25_wand_topk": q_bm25_wand,
     "vsm_topk": q_vsm_topk,
+    "vsm_batch_topk": q_vsm_batch,
     "existential": q_existential,
     "doc_ids": q_doc_ids,
     "vocabulary": q_vocabulary,
@@ -838,6 +852,10 @@ ORACLE_SQL = {
     ),
     "bm25_wand_topk": _bm25_sql(_Q2, 10),
     "vsm_topk": _vsm_sql(_VSM_Q, 50),
+    "vsm_batch_topk": "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, docid, score FROM ({_vsm_sql(terms, 50)})"
+        for qid, terms in ((1, _VSM_Q), (2, _Q1), (3, _EX_Q))
+    ),
     "existential": f"""
 WITH {_BASE_CTES}
 SELECT DISTINCT docid, 1.0::DOUBLE AS score FROM tf

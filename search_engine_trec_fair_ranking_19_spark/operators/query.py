@@ -383,6 +383,19 @@ def bm25_topk_batch(
         .select("qid", "docid", (F.col("contrib") + F.col("sum_idf")).alias("raw"))
     )
 
+    return _finalize_batch(spark, tables, raw, k, pagerank_weight)
+
+
+def _finalize_batch(
+    spark: SparkSession,
+    tables: IndexTables,
+    raw: DataFrame,  # (qid, docid, raw)
+    k: int | None,
+    pagerank_weight: float,
+) -> DataFrame:
+    """Per-qid `_finalize`: max-normalize, optional PageRank blend (each
+    query's blend normalizes by its OWN result-set pagerank max), tie-broken
+    top-k — all as windows over one qid-partitioned exchange."""
     wq = Window.partitionBy("qid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -618,6 +631,68 @@ def vsm_topk(
         )
     )
     return _finalize(spark, tables, raw, k, pagerank_weight)
+
+
+def vsm_topk_batch(
+    spark: SparkSession,
+    tables: IndexTables,
+    queries: list[tuple[int, str]],
+    k: int | None = 10,
+    pagerank_weight: float | None = None,
+    config: EngineConfig | None = None,
+    expander=None,
+) -> DataFrame:
+    """VSM twin of :func:`bm25_topk_batch`: N queries, one plan, per-qid
+    rank/score-identical to :func:`vsm_topk`. Per-query weights/idfs/cosine
+    q-weights ride one broadcast frame; the per-query norm joins back on qid
+    after the (qid, docid) aggregation; doc-side (max_tf, vsm_weight) joins
+    from doc_stats exactly as the sequential path (J3)."""
+    config = config or tables.config
+    if pagerank_weight is None:
+        pagerank_weight = config.pagerank_weight
+    pqs: dict[int, PreparedQuery] = {}
+    for qid, text in queries:
+        pq = prepare_query(spark, tables, text, config, expander=expander)
+        if pq.terms:
+            pqs[qid] = pq
+    if not pqs:
+        return _local_df(spark, [], BATCH_TOPK_SCHEMA)
+
+    qt_rows, qn_rows = [], []
+    for qid, pq in pqs.items():
+        max_q_freq = max(w for _, w in pq.terms)
+        q_weights = [
+            (w / max_q_freq) * idf for (_, w), idf in zip(pq.terms, pq.idfs)
+        ]
+        qn_rows.append(
+            (qid, float(math.sqrt(sum(w * w for w in q_weights))))
+        )
+        qt_rows += [
+            (qid, t, float(w), float(idf), float(qw))
+            for ((t, w), idf, qw) in zip(pq.terms, pq.idfs, q_weights)
+        ]
+    qt = _local_df(
+        spark, qt_rows, "qid int, term string, weight double, idf double, q_weight double"
+    )
+    qn = _local_df(spark, qn_rows, "qid int, q_norm double")
+
+    union_terms = sorted({t for pq in pqs.values() for t, _ in pq.terms})
+    posting = matched_postings(spark, tables, union_terms)
+    stats = tables.doc_stats(spark).select("docid", "max_tf", "vsm_weight")
+    raw = (
+        posting.join(F.broadcast(qt), "term")
+        .join(stats, "docid")
+        .withColumn(
+            "contrib",
+            F.col("q_weight")
+            * ((F.col("tf") * F.col("weight") / F.col("max_tf")) * F.col("idf")),
+        )
+        .groupBy("qid", "docid")
+        .agg((F.sum("contrib") / F.first("vsm_weight")).alias("dot"))
+        .join(F.broadcast(qn), "qid")
+        .select("qid", "docid", (F.col("dot") / F.col("q_norm")).alias("raw"))
+    )
+    return _finalize_batch(spark, tables, raw, k, pagerank_weight)
 
 
 def existential(

@@ -258,3 +258,19 @@ def test_bm25_batch_all_empty_queries(spark, tables):
     out = q.bm25_topk_batch(spark, tables, [(0, "the and of")], k=10)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["qid", "docid", "score"]
+
+
+def test_vsm_batch_matches_sequential(spark, tables):
+    qs = list(enumerate(QUERIES[:6]))
+    batch = _batch_by_qid(q.vsm_topk_batch(spark, tables, qs, k=10))
+    for qid, query in qs:
+        exp = [
+            (r["docid"], r["score"])
+            for r in q.vsm_topk(spark, tables, query, k=10).collect()
+        ]
+        got = batch.get(qid, [])
+        assert [d for d, _ in got] == [d for d, _ in exp], (
+            f"qid {qid} ({query!r}): got {got[:5]} want {exp[:5]}"
+        )
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9), f"qid {qid} doc {gd}"
