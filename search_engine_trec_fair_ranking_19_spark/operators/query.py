@@ -727,9 +727,18 @@ def result_window(topk: DataFrame, start: int, end: int) -> DataFrame:
 def topk_with_docs(
     spark: SparkSession, tables: IndexTables, topk: DataFrame
 ) -> DataFrame:
-    """F4/J4: project display fields onto a (small) top-k — broadcast join."""
+    """F4/J4: project display fields onto a (small) top-k.
+
+    The k-row result is the BROADCAST side and doc_ids the streamed side —
+    the only direction that works at 10^12 docs. Inner join: every docid in
+    a result frame exists in doc_ids by construction (doc_ids IS the docid
+    assignment; postings are built from it), and a left-outer here would
+    forbid building the broadcast (outer) side, silently downgrading the
+    hint (observed as HintErrorLogger warnings in gate runs)."""
+    doc_ids = tables.doc_ids(spark)
+    extra = [c for c in doc_ids.columns if c != "docid"]
     return (
-        F.broadcast(topk)
-        .join(tables.doc_ids(spark), "docid", "left")
+        doc_ids.join(F.broadcast(topk), "docid")
+        .select(*topk.columns, *extra)
         .orderBy(F.desc("score"), F.asc("docid"))
     )
