@@ -700,6 +700,20 @@ def q_ann_lsh(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN top-10 (k-means coarse quantizer, nprobe=4 of 8 lists, exact
+    re-rank inside probed lists). k-means is iterative and seed-dependent —
+    not SQL-expressible — so this gate records rows-only; recall + full-probe
+    exactness vs the hash-green brute-force scan are pytest-pinned
+    (tests/test_similarity.py)."""
+    emb = load_embeddings(spark, sf_dir)
+    qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+    centroids, assignments = similarity.ivf_index(emb, n_centroids=8, seed=7)
+    return similarity.ivf_topk(
+        emb, centroids, assignments, qvec, k=10, nprobe=4
+    ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_embedding_neardup_exact(spark, sf_dir):
     """Embedding-cosine near-dup, exact baseline (gate threshold 0.35 — the
     synthetic embeddings are near-orthogonal, max pairwise cosine ~0.51, so a
@@ -791,6 +805,7 @@ QUERIES = {
     "ann_cosine_brute_force": q_ann_brute_force,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_lsh": q_ann_lsh,
+    "ann_cosine_ivf": q_ann_ivf,
     "embedding_neardup_exact": q_embedding_neardup_exact,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_features": q_multimodal_features,

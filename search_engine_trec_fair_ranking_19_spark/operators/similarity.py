@@ -264,3 +264,78 @@ def embedding_near_dup_pairs(
         .select("a", "b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer + probed-list re-rank
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """Coarse quantizer for IVF ANN: k-means over the embedding column
+    (Spark ML, one distributed fit) → (centroids array, (vec_id, cluster)
+    assignments DataFrame).
+
+    The assignments ARE the inverted file: at scale, write them as a table
+    partitioned/bucketed by ``cluster`` so a probe reads only its lists'
+    files (partition pruning does the "inverted" part); centroids are
+    driver-sized (n_centroids × dim) by construction. Deterministic for a
+    fixed (data, seed) — Spark ML k-means|| is seeded — but NOT a pure
+    function of the row values alone, so gates pin recall, not hashes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        F.col(id_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__features"),
+    )
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__features",
+        predictionCol="cluster",
+    ).fit(feats)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    assignments = model.transform(feats).select(id_col, "cluster")
+    return centroids, assignments
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    assignments: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate cosine top-k: rank centroids against the query on the
+    DRIVER (n_centroids is tiny), probe the ``nprobe`` nearest lists, exact
+    cosine re-rank of those lists' vectors only.
+
+    Complements :func:`lsh_topk`: IVF adapts to the data distribution (lists
+    are k-means cells, so clustered corpora probe far fewer vectors than
+    data-oblivious hyperplane buckets), at the cost of a training pass and a
+    non-pure index. Recall grows with ``nprobe``; nprobe = n_centroids
+    degenerates to the exact scan."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = (centroids @ q) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probe = [int(c) for c in np.argsort(-sims)[: max(1, nprobe)]]
+    cand = assignments.filter(F.col("cluster").isin(probe)).select(id_col)
+    cand_vecs = embeddings.join(cand, id_col).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    return brute_force_topk(cand_vecs, query_vec, k, id_col, vec_col)

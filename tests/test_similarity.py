@@ -57,3 +57,31 @@ def test_lsh_candidates_subset_rerank_exact(spark):
         true_cos = _numpy_topk(vecs, q, 100)
         lookup = dict(true_cos)
         assert r["cosine"] == pytest.approx(lookup[r["vec_id"]], abs=1e-6)
+
+
+def test_ivf_recall_and_exactness_at_full_probe(spark):
+    df, vecs = _emb_df(spark, n=300)
+    centroids, assignments = similarity.ivf_index(df, n_centroids=8, seed=7)
+    assert centroids.shape == (8, 16)
+    assert assignments.count() == 300
+    q = (vecs[7] + np.random.default_rng(1).standard_normal(16) * 0.01).tolist()
+    exact = {i for i, _ in _numpy_topk(vecs, q, 10)}
+    # probing HALF the lists must recover the bulk of the true top-10
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            df, centroids, assignments, q, k=10, nprobe=4
+        ).collect()
+    }
+    assert 7 in got
+    assert len(exact & got) >= 5
+    # nprobe = n_centroids degenerates to the exact scan
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            df, centroids, assignments, q, k=10, nprobe=8
+        ).collect()
+    ]
+    for (gi, gc), (ei, ec) in zip(full, _numpy_topk(vecs, q, 10)):
+        assert gi == ei
+        assert gc == pytest.approx(ec, abs=1e-6)
