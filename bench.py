@@ -128,28 +128,47 @@ def main() -> None:
         shutil.rmtree(index_dir, ignore_errors=True)
 
     # ---- dedup + similarity + text analysis -------------------------------
-    t0 = time.time()
-    dedup.minhash_dedup_pairs(
-        docs, num_hashes=64, num_bands=16, threshold=0.5
-    ).count()
-    timings["dedup_minhash"] = time.time() - t0
+    # Each stage is timed as the MIN over two back-to-back runs. The host's
+    # first-touch page-fault throughput swings >100x on a minutes timescale
+    # (see BENCH/BASELINE.md); a single cold run can land entirely inside a
+    # collapsed window and measure the host, not the code (observed: the
+    # same minhash sweep at 3.1s and 32.8s minutes apart). Min-of-2 in one
+    # session keeps the number about the plan; both runs are reported.
+    run_pairs: dict[str, list[float]] = {}
 
-    t0 = time.time()
-    dedup.exact_duplicates(docs).count()
-    timings["dedup_exact"] = time.time() - t0
+    def timed2(name: str, fn) -> None:
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        run_pairs[name] = [round(r, 3) for r in runs]
+        timings[name] = min(runs)
+
+    timed2(
+        "dedup_minhash",
+        lambda: dedup.minhash_dedup_pairs(
+            docs, num_hashes=64, num_bands=16, threshold=0.5
+        ).count(),
+    )
+    timed2("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
 
     emb = load_embeddings(spark, sf_dir)
     qvec = list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
-    t0 = time.time()
-    similarity.brute_force_topk(emb, qvec, k=10).collect()
-    timings["ann_brute_force"] = time.time() - t0
+    timed2(
+        "ann_brute_force",
+        lambda: similarity.brute_force_topk(emb, qvec, k=10).collect(),
+    )
 
-    t0 = time.time()
-    docs.select(
-        ta.lang_id(F.col("text")).alias("lang"),
-        ta.quality_score(F.col("text")).alias("quality"),
-    ).agg(F.count(F.lit(1)), F.avg("quality")).collect()
-    timings["text_quality_scan"] = time.time() - t0
+    timed2(
+        "text_quality_scan",
+        lambda: docs.select(
+            ta.lang_id(F.col("text")).alias("lang"),
+            ta.quality_score(F.col("text")).alias("quality"),
+        )
+        .agg(F.count(F.lit(1)), F.avg("quality"))
+        .collect(),
+    )
 
     total = time.time() - t_all
     bm25_times = sorted(v for k, v in timings.items() if k.startswith("bm25_q"))
@@ -165,6 +184,7 @@ def main() -> None:
         "bm25_p50_sec": round(bm25_times[len(bm25_times) // 2], 3),
         "wand_p50_sec": round(wand_times[len(wand_times) // 2], 3),
         "wand_paths": wand_paths,
+        "post_index_stage_runs": run_pairs,
         "host_fault_mbps": [health_before, _host_fault_mbps()],
     }
     print(json.dumps(result))

@@ -84,6 +84,9 @@ def _package_zip() -> str:
 
 def cluster_session(cores_max: int, app_name: str):
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    # tmpfs — vanishes on VM restart; the accumulator UDS bind fails with a
+    # bare FileNotFoundError if the socket dir is missing.
+    os.makedirs("/dev/shm/pyuds", exist_ok=True)
     from pyspark.sql import SparkSession
 
     spark = (
@@ -198,6 +201,16 @@ HW_STREAM_EFF_FLOOR = 0.70
 # max allowed ratio between the two arms' in-flight fault medians — arms
 # measured in dissimilar host windows compare hosts, not topologies
 ARM_SYMMETRY_MAX = 4.0
+# max allowed max/min ratio between an arm's own two ABBA runs — the runs
+# are IDENTICAL work, so any spread beyond warmup jitter means the host
+# window shifted mid-pair and the min-of-runs no longer samples a common
+# window for both arms (observed: 131s vs 392s for the same 4-executor
+# build inside one "healthy-by-fault-median" pair). The observed spread
+# distribution is bimodal: every pair measured in a stable window
+# reproduces within 1.38x (min-of-2 scoring absorbs that much warmup/JIT
+# jitter), while mid-pair window collapses show 1.47-3.0x. The bound sits
+# in the gap. Outcome-blind: it judges run stability, not efficiency.
+ARM_REPRO_MAX = 1.45
 
 
 def _hw_window() -> dict:
@@ -249,10 +262,21 @@ def orchestrate(n_docs: int, pairs: int) -> None:
         # ratio such a pair produces is window skew, not job scaling
         meds = list(med.values())
         symmetric = max(meds) <= ARM_SYMMETRY_MAX * max(min(meds), 1e-9)
+        spread = {
+            c: (
+                max(r["build_sec"] for r in rs)
+                / min(r["build_sec"] for r in rs)
+                if len(rs) > 1
+                else 1.0
+            )
+            for c, rs in runs.items()
+        }
+        reproducible = all(s <= ARM_REPRO_MAX for s in spread.values())
         ok = (
             all(m >= HEALTH_FLOOR_MBPS for m in med.values())
             and hw_ok
             and symmetric
+            and reproducible
         )
         accepted += ok
         speedup = lo["build_sec"] / hi["build_sec"]
@@ -274,6 +298,8 @@ def orchestrate(n_docs: int, pairs: int) -> None:
             "hw_window": hw,
             "hw_scaling_ok": hw_ok,
             "arm_windows_symmetric": symmetric,
+            "arm_run_spread": {str(c): round(s, 3) for c, s in spread.items()},
+            "arm_runs_reproducible": reproducible,
             "healthy": ok,
         }
         pair_rows.append(row)

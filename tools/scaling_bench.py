@@ -364,7 +364,25 @@ def run_split(
             c: (statistics.median(s) if s else 0.0)
             for c, s in arm_health.items()
         }
-        ok = all(m >= HEALTH_FLOOR_MBPS for m in med.values())
+        # within-arm reproducibility: an arm's two ABBA runs are identical
+        # work, so spread beyond min-of-2 jitter (clean pairs: <=1.38x;
+        # collapsed windows: 1.47-3.0x) means the host window shifted
+        # mid-pair and the pair's ratio compares two different hosts.
+        # Same bound as tools/cluster_scaling_bench.ARM_REPRO_MAX.
+        spread = {
+            c: (
+                max(r["build_sec"] for r in rs)
+                / min(r["build_sec"] for r in rs)
+                if len(rs) > 1
+                else 1.0
+            )
+            for c, rs in runs.items()
+        }
+        reproducible = all(s <= 1.45 for s in spread.values())
+        ok = (
+            all(m >= HEALTH_FLOOR_MBPS for m in med.values())
+            and reproducible
+        )
         accepted += ok
         speedup = lo["build_sec"] / hi["build_sec"]
         row = {
@@ -382,6 +400,8 @@ def run_split(
             ),
             "arm_fault_mbps": {str(c): s for c, s in arm_health.items()},
             "arm_fault_median": {str(c): round(m, 1) for c, m in med.items()},
+            "arm_run_spread": {str(c): round(s, 3) for c, s in spread.items()},
+            "arm_runs_reproducible": reproducible,
             "healthy": ok,
         }
         pair_rows.append(row)
