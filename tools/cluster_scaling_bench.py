@@ -47,6 +47,7 @@ import zipfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.scaling_bench import (
+    ARM_REPRO_MAX,
     HEALTH_FLOOR_MBPS,
     QUERIES,
     _ArmProber,
@@ -205,12 +206,10 @@ ARM_SYMMETRY_MAX = 4.0
 # are IDENTICAL work, so any spread beyond warmup jitter means the host
 # window shifted mid-pair and the min-of-runs no longer samples a common
 # window for both arms (observed: 131s vs 392s for the same 4-executor
-# build inside one "healthy-by-fault-median" pair). The observed spread
-# distribution is bimodal: every pair measured in a stable window
-# reproduces within 1.38x (min-of-2 scoring absorbs that much warmup/JIT
-# jitter), while mid-pair window collapses show 1.47-3.0x. The bound sits
-# in the gap. Outcome-blind: it judges run stability, not efficiency.
-ARM_REPRO_MAX = 1.45
+# build inside one "healthy-by-fault-median" pair). Outcome-blind: it
+# judges run stability, not efficiency. The bound itself (ARM_REPRO_MAX)
+# is defined once in tools/scaling_bench.py (calibration rationale there)
+# and imported above so the two bench tools cannot drift.
 
 
 def _hw_window() -> dict:

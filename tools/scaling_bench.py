@@ -58,6 +58,18 @@ QUERIES = [
     "running quickly computing",
 ]
 
+# Within-arm reproducibility bound (single source of truth — imported by
+# tools/cluster_scaling_bench.py and tools/apply_repro_gate.py). An arm's
+# two ABBA runs are identical work; a spread past this means the host
+# window shifted mid-pair and the pair's ratio compares two different
+# hosts. Calibration: the pairs whose job-side numbers were self-consistent
+# (local 1->4, cluster 1-exec committed pairs) spread <=1.38; the rerun
+# pairs that demonstrably straddled collapses spread 1.47-3.0. The 2->8 /
+# 4->16 local splits recorded spreads of 1.43-2.15 and are REJECTED under
+# this bound (see BENCH/BASELINE.md) — the bound is outcome-blind and
+# applied uniformly, which costs those splits their headline numbers.
+ARM_REPRO_MAX = 1.45
+
 
 def host_fault_mbps(mb: int = 100) -> float:
     """First-touch page-fault throughput of THIS VM right now (MB/s).
@@ -364,11 +376,7 @@ def run_split(
             c: (statistics.median(s) if s else 0.0)
             for c, s in arm_health.items()
         }
-        # within-arm reproducibility: an arm's two ABBA runs are identical
-        # work, so spread beyond min-of-2 jitter (clean pairs: <=1.38x;
-        # collapsed windows: 1.47-3.0x) means the host window shifted
-        # mid-pair and the pair's ratio compares two different hosts.
-        # Same bound as tools/cluster_scaling_bench.ARM_REPRO_MAX.
+        # within-arm reproducibility: see ARM_REPRO_MAX above.
         spread = {
             c: (
                 max(r["build_sec"] for r in rs)
@@ -378,7 +386,7 @@ def run_split(
             )
             for c, rs in runs.items()
         }
-        reproducible = all(s <= 1.45 for s in spread.values())
+        reproducible = all(s <= ARM_REPRO_MAX for s in spread.values())
         ok = (
             all(m >= HEALTH_FLOOR_MBPS for m in med.values())
             and reproducible
@@ -407,15 +415,21 @@ def run_split(
         pair_rows.append(row)
         print(json.dumps(row), flush=True)
 
-    kept = [r for r in pair_rows if r["healthy"]] or pair_rows
-    # headline: median per-pair efficiency over HEALTHY pairs — each ratio is
-    # measured inside one window (common-mode noise cancels), the admission
-    # gate drops pairs that straddled a degraded window, and the median
-    # resists whatever leaks through
-    pair_effs = [r["build_scaling_efficiency"] for r in kept]
-    headline_eff = statistics.median(pair_effs)
-    best_lo = min(r["low"]["build_sec"] for r in kept)
-    best_hi = min(r["high"]["build_sec"] for r in kept)
+    kept = [r for r in pair_rows if r["healthy"]]
+    # headline: median per-pair efficiency over ADMITTED pairs — each ratio
+    # is measured inside one window (common-mode noise cancels), the
+    # admission gate drops pairs that straddled a degraded window, and the
+    # median resists whatever leaks through. Zero admitted pairs => NO
+    # headline is claimed (None), never a number from rejected pairs.
+    headline_eff = (
+        round(
+            statistics.median(r["build_scaling_efficiency"] for r in kept), 3
+        )
+        if kept
+        else None
+    )
+    best_lo = min(r["low"]["build_sec"] for r in kept) if kept else None
+    best_hi = min(r["high"]["build_sec"] for r in kept) if kept else None
     n_docs_actual = pair_rows[0]["low"]["n_docs"]
     return {
         "low_cpus": low,
@@ -423,16 +437,23 @@ def run_split(
         "n_docs": n_docs_actual,
         "health_floor_mbps": HEALTH_FLOOR_MBPS,
         "pairs": pair_rows,
-        "pairs_healthy": len([r for r in pair_rows if r["healthy"]]),
+        "pairs_healthy": len(kept),
         "build_sec_low_min": best_lo,
         "build_sec_high_min": best_hi,
-        "docs_per_sec_low": round(n_docs_actual / best_lo, 1),
-        "docs_per_sec_high": round(n_docs_actual / best_hi, 1),
-        "build_scaling_efficiency": round(headline_eff, 3),
-        "pairwise_efficiency_all": pair_effs,
+        "docs_per_sec_low": round(n_docs_actual / best_lo, 1) if kept else None,
+        "docs_per_sec_high": round(n_docs_actual / best_hi, 1) if kept else None,
+        "build_scaling_efficiency": headline_eff,
+        "pairwise_efficiency_all": [
+            r["build_scaling_efficiency"] for r in pair_rows
+        ],
+        "pairwise_efficiency_admitted": [
+            r["build_scaling_efficiency"] for r in kept
+        ],
         "hw_cpu_scaling": hw,
         "hw_mem_scaling": hw_mem,
-        "job_to_hw_ratio": round(headline_eff / hw["efficiency"], 3),
+        "job_to_hw_ratio": (
+            round(headline_eff / hw["efficiency"], 3) if kept else None
+        ),
     }
 
 
@@ -469,34 +490,55 @@ def orchestrate(
 
 
 def write_baseline_md(s: dict) -> None:
+    def _eff(r: dict) -> str:
+        if r["build_scaling_efficiency"] is None:
+            return "**inadmissible** (zero pairs pass the repro gate)"
+        return f"**{r['build_scaling_efficiency']}**"
+
     split_rows = "\n".join(
-        f"| {r['low_cpus']}→{r['high_cpus']} | {r['build_sec_low_min']} | "
-        f"{r['build_sec_high_min']} | {r['pairs_healthy']}/{len(r['pairs'])} | "
-        f"**{r['build_scaling_efficiency']}** | "
+        f"| {r['low_cpus']}→{r['high_cpus']} | "
+        f"{r['build_sec_low_min'] if r['build_scaling_efficiency'] is not None else '—'} | "
+        f"{r['build_sec_high_min'] if r['build_scaling_efficiency'] is not None else '—'} | "
+        f"{r['pairs_healthy']}/{len(r['pairs'])} | "
+        f"{_eff(r)} | "
         f"{r['hw_cpu_scaling']['efficiency']} | "
         f"{r.get('hw_mem_scaling', {}).get('stream', {}).get('efficiency', '—')} | "
         f"{r.get('hw_mem_scaling', {}).get('alloc', {}).get('efficiency', '—')} | "
-        f"{r['job_to_hw_ratio']} |"
+        f"{r['job_to_hw_ratio'] if r['build_scaling_efficiency'] is not None else '—'} |"
         for r in s["splits"]
     )
+
+    def _why_rejected(p: dict) -> str:
+        if p["healthy"]:
+            return "yes"
+        if not p.get("arm_runs_reproducible", True):
+            return f"REJECTED (spread > {ARM_REPRO_MAX})"
+        return "REJECTED (fault floor)"
+
     pair_sections = []
     for r in s["splits"]:
         rows = "\n".join(
             f"| {p['pair']} | {p['schedule']} | "
             f"{'/'.join(str(x) for x in p['build_sec_runs'][str(r['low_cpus'])])} | "
             f"{'/'.join(str(x) for x in p['build_sec_runs'][str(r['high_cpus'])])} | "
+            f"{p.get('arm_run_spread', {}).get(str(r['low_cpus']), '—')}/"
+            f"{p.get('arm_run_spread', {}).get(str(r['high_cpus']), '—')} | "
             f"{p['build_speedup']}x | "
             f"{p['build_scaling_efficiency']} | "
             f"{p['arm_fault_median'][str(r['low_cpus'])]} / "
             f"{p['arm_fault_median'][str(r['high_cpus'])]} | "
-            f"{'yes' if p['healthy'] else 'REJECTED'} |"
+            f"{_why_rejected(p)} |"
             for p in r["pairs"]
         )
+        title = f"### local[{r['low_cpus']}] vs local[{r['high_cpus']}]"
+        if r["build_scaling_efficiency"] is None:
+            title += " — NO admitted pairs; raw data retained as context"
         pair_sections.append(
-            f"### local[{r['low_cpus']}] vs local[{r['high_cpus']}]\n\n"
-            f"| pair | ABBA schedule | low runs s | high runs s | speedup | "
+            f"{title}\n\n"
+            f"| pair | ABBA schedule | low runs s | high runs s | "
+            f"spread (low/high) | speedup | "
             f"efficiency | arm median fault MB/s (low/high) | admitted |\n"
-            f"|---|---|---|---|---|---|---|---|\n"
+            f"|---|---|---|---|---|---|---|---|---|\n"
             f"{rows}\n"
         )
     with open("BENCH/BASELINE.md", "w") as f:
