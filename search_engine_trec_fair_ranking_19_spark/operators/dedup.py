@@ -225,11 +225,9 @@ def _signatures_from_hashed(
                     sigs[start_doc:end_doc] = np.minimum.reduceat(
                         hashed, cuts, axis=1
                     ).T.astype(np.int64)
-                # reduceat misbehaves on empty slices → overwrite empties
-                for i in range(start_doc, end_doc):
-                    if lengths[i] == 0:
-                        sigs[i] = empty_sig
                 start_doc = end_doc
+            # reduceat misbehaves on empty slices → overwrite empties
+            sigs[lengths == 0] = empty_sig
             docid_arr = batch.column(batch.schema.get_field_index("doc_id"))
             sig_off = np.arange(n_docs + 1, dtype=np.int32) * num_hashes
             sig_arr = pa.ListArray.from_arrays(
@@ -335,9 +333,13 @@ def simhash_signatures(
     """(doc_id, simhash long) — 64-bit TF-weighted sign hash of word tokens.
 
     Tokenizing + hashing run JVM-side (`xxhash64` over the token array, with
-    repeats — TF weights come from `np.unique(..., return_counts=True)` on
-    the hashed longs); Python does only numpy bit math. No per-token Python
-    string work anywhere (round-2 bottleneck)."""
+    repeats); Python does only numpy bit math, fully BATCHED across docs:
+    the TF weighting is implicit — summing ±1 per token OCCURRENCE equals
+    summing count-weighted ±1 per unique token — so the whole Arrow batch is
+    one (tokens × 64) int8 sign matrix segment-reduced per doc with
+    ``np.add.reduceat`` (same shape as the MinHash kernel; no per-doc Python
+    loop, the round-3 residual). Chunked so the sign matrix stays ~64 MB
+    regardless of batch shape."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
     )
@@ -351,6 +353,7 @@ def simhash_signatures(
 
         bit_cols = np.arange(64, dtype=np.uint64)
         pow2 = (np.uint64(1) << bit_cols).astype(np.uint64)
+        chunk_tokens = 1 << 20  # 64 MB int8 sign-matrix bound
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -362,18 +365,41 @@ def simhash_signatures(
                 np.uint64
             )
             n_docs = batch.num_rows
+            lengths = np.diff(offsets)
             out = np.zeros(n_docs, dtype=np.int64)
-            for i in range(n_docs):
-                seg = flat[offsets[i] : offsets[i + 1]]
-                if len(seg) == 0:
-                    continue
-                base, counts = np.unique(seg, return_counts=True)
-                bits = ((base[:, None] >> bit_cols[None, :]) & np.uint64(1)).astype(
-                    np.int64
-                )
-                weights = counts.astype(np.int64)[:, None]
-                acc = np.where(bits == 1, weights, -weights).sum(axis=0)
-                out[i] = ((acc > 0) * pow2).sum(dtype=np.uint64).astype(np.int64)
+            start_doc = 0
+            while start_doc < n_docs:
+                end_doc = start_doc
+                tot = 0
+                while end_doc < n_docs and (
+                    tot == 0 or tot + lengths[end_doc] <= chunk_tokens
+                ):
+                    tot += lengths[end_doc]
+                    end_doc += 1
+                lo, hi = offsets[start_doc], offsets[end_doc]
+                seg = flat[lo:hi]
+                if len(seg):
+                    # +1 where bit set, -1 where clear, per token occurrence
+                    signed = (
+                        ((seg[:, None] >> bit_cols[None, :]) & np.uint64(1))
+                        .astype(np.int8)
+                        * np.int8(2)
+                        - np.int8(1)
+                    )
+                    # empty docs repeat / overrun the next cut — clip to stay
+                    # in bounds; their (garbage) rows are zeroed below
+                    cuts = np.minimum(
+                        (offsets[start_doc:end_doc] - lo).astype(np.intp),
+                        len(seg) - 1,
+                    )
+                    acc = np.add.reduceat(signed, cuts, axis=0, dtype=np.int64)
+                    out[start_doc:end_doc] = (
+                        ((acc > 0) * pow2[None, :])
+                        .sum(axis=1, dtype=np.uint64)
+                        .astype(np.int64)
+                    )
+                start_doc = end_doc
+            out[lengths == 0] = 0
             docid_arr = batch.column(batch.schema.get_field_index("doc_id"))
             yield pa.RecordBatch.from_arrays(
                 [docid_arr, pa.array(out)], names=["doc_id", "simhash"]
