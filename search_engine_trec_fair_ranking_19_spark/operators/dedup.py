@@ -328,9 +328,19 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
 ) -> DataFrame:
     """(doc_id, simhash long) — 64-bit TF-weighted sign hash of word tokens.
+
+    ``token_hash`` (Column → Column) overrides the per-token hash function;
+    the default is `xxhash64` (fastest JVM-side choice). The driver gate
+    injects a 60-bit md5-prefix hash instead because DuckDB can compute md5
+    identically, making the WHOLE simhash pipeline — signature kernel,
+    banding, hamming verify — value-checkable cross-engine; the sign-sum
+    kernel below is hash-agnostic.
 
     Tokenizing + hashing run JVM-side (`xxhash64` over the token array, with
     repeats); Python does only numpy bit math, fully BATCHED across docs:
@@ -340,12 +350,16 @@ def simhash_signatures(
     ``np.add.reduceat`` (same shape as the MinHash kernel; no per-doc Python
     loop, the round-3 residual). Chunked so the sign matrix stays ~64 MB
     regardless of batch shape."""
+    if token_hash is None:
+        # wrapped: F.transform rejects variadic builtins as lambdas
+        def token_hash(t):
+            return F.xxhash64(t)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
     )
     hashed_toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform(toks, token_hash).alias("hs"),
     )
 
     def gen(batches):
@@ -415,12 +429,15 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Scale path: block on 4 × 16-bit bands (pigeonhole — any pair within
-    hamming ≤ 3 shares at least one exact band), then verify with bit_count."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    hamming ≤ 3 shares at least one exact band), then verify with bit_count.
+    At ``max_hamming`` ≤ 3 the banding is COMPLETE (output equals the
+    brute-force pair set); above 3 it is a high-recall approximation."""
+    sigs = simhash_signatures(df, id_col, text_col, token_hash)
     bands = sigs.select(
         "doc_id",
         "simhash",

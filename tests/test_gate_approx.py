@@ -1,8 +1,9 @@
-"""Verification for the three approximate gate entries that cannot have SQL
-oracles (minhash_lsh_pairs / simhash_pairs / ann_cosine_lsh — seeded hash
-families with recall < 1 by design). The driver records rows-only for them;
-these tests carry the correctness story at the gate's own data
-(/root/testdata/sf0.001) and parameters:
+"""Verification for the approximate operators in their PRODUCTION regimes
+(sub-threshold candidates, lower-recall parameterizations, the xxhash64
+token hash). The driver gates cover the provably/verifiably-exact regimes
+with full SQL oracles since round 4 (see the q_* docstrings in
+entry_queries.py); these tests carry the rest of the correctness story at
+the gate's own data (/root/testdata/sf0.001):
 
   * soundness — every emitted pair/row is exactly verifiable (true Jaccard,
     true hamming, true cosine);
