@@ -95,14 +95,71 @@ class SynonymTableExpander:
 
 
 class GloVeExpander:
-    """STUB — requires an external GloVe model (`GloVe.java:31-44` loads
-    ``glove.6B.300d.txt`` via dl4j). Not available in this environment."""
+    """E1 with user-supplied vectors — the full reference semantics over any
+    embeddings file in the public GloVe text format (``word v1 … vN`` per
+    line, `GloVe.java:31-44` loads ``glove.6B.300d.txt`` the same way via
+    dl4j): per query token, the ``top_k``(=3) nearest vocabulary words by
+    cosine (dl4j ``wordsNearest``, `GloVe.java:52-80`), expansion weight 0.5
+    applied downstream by :func:`expand_query`.
 
-    def __init__(self, model_path: str | None = None):
-        raise NotImplementedError(
-            "GloVe expansion needs an external embeddings file; supply a "
-            "SynonymTableExpander built from corpus statistics instead"
+    Ingestion is symmetric to the WordNet ``dict/`` reader
+    (`analysis/wordnet.py`): the model FILE is user data (none ships in this
+    repo — "no external data"); everything else is implemented and
+    pytest-pinned against a tiny synthetic vectors file
+    (tests/test_expansion.py). The zero-artifact default for E1 remains the
+    corpus-mined PMI table (:func:`mine_synonym_table`).
+
+    Driver-side by design, like the reference: the model is a query-time
+    lookup structure, not part of the distributed plan. Vectors are held as
+    one float32 (V × d) unit matrix (~460 MB for the 400k × 300d public
+    file) and each token's neighbours are one matrix-vector product over a
+    handful of query tokens."""
+
+    def __init__(self, vectors_path: str, top_k: int = 3):
+        import numpy as np
+
+        words: list[str] = []
+        vecs: list[np.ndarray] = []
+        with open(vectors_path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split(" ")
+                if len(parts) < 3:
+                    continue  # blank/word2vec-style header lines
+                words.append(parts[0])
+                vecs.append(np.asarray(parts[1:], dtype=np.float32))
+        if not words:
+            raise ValueError(f"no vectors found in {vectors_path}")
+        dims = {v.shape[0] for v in vecs}
+        if len(dims) != 1:
+            raise ValueError(f"inconsistent vector dims in {vectors_path}: {dims}")
+        mat = np.stack(vecs)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        self._unit = (mat / norms[:, None]).astype(np.float32)
+        self._words = words
+        self._index = {w: i for i, w in enumerate(words)}
+        self.top_k = top_k
+
+    def expand(self, token: str) -> list[str]:
+        import numpy as np
+
+        i = self._index.get(token.lower())
+        if i is None:
+            return []  # OOV token: original kept, no expansions
+        sims = self._unit @ self._unit[i]
+        sims[i] = -np.inf  # wordsNearest never returns the word itself
+        # deterministic: cosine desc, then word asc on ties — select the
+        # k-th value with argpartition, keep EVERYTHING tied with it so the
+        # tie-break is applied over the full tie group, then sort that
+        # bounded candidate set
+        k = min(self.top_k, len(self._words) - 1)
+        kth = sims[np.argpartition(-sims, k - 1)[:k]].min()
+        cand = np.nonzero(sims >= kth)[0]
+        order = sorted(
+            (j for j in cand.tolist() if j != i),
+            key=lambda j: (-float(sims[j]), self._words[j]),
         )
+        return [self._words[j] for j in order[:k]]
 
 
 # Real E2: POS-routed synset lookup over a user-supplied WordNet dict/

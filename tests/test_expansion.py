@@ -100,13 +100,73 @@ def test_expansion_normalized_like_originals():
     assert got == [("fast", 1.0), ("run", 0.5)]
 
 
-def test_external_model_stub_and_missing_db_raise():
-    with pytest.raises(NotImplementedError):
-        GloVeExpander()
-    # WordNet is a real implementation now (analysis/wordnet.py) — it fails
-    # loudly when pointed at a missing dict directory
+def test_external_model_missing_files_raise():
+    # both user-supplied-artifact expanders fail loudly on missing inputs
+    with pytest.raises(FileNotFoundError):
+        GloVeExpander("/nonexistent/glove.txt")
     with pytest.raises(FileNotFoundError):
         WordNetExpander("/nonexistent/wordnet/dict")
+
+
+def _write_glove(tmp_path, rows):
+    p = tmp_path / "vectors.txt"
+    p.write_text(
+        "\n".join(w + " " + " ".join(str(x) for x in v) for w, v in rows) + "\n",
+        encoding="utf-8",
+    )
+    return str(p)
+
+
+def test_glove_expander_nearest_by_cosine(tmp_path):
+    # GloVe.java:52-80: wordsNearest(token, 3) by cosine over the model file
+    path = _write_glove(
+        tmp_path,
+        [
+            ("web", [1.0, 0.0]),
+            ("net", [0.9962, 0.0872]),   # cos ~0.996 vs web
+            ("site", [0.866, 0.5]),      # cos 0.866
+            ("page", [0.7071, 0.7071]),  # cos ~0.707
+            ("the", [0.0, 1.0]),         # cos 0
+        ],
+    )
+    exp = GloVeExpander(path)
+    assert exp.expand("web") == ["net", "site", "page"]
+    # case-insensitive lookup, like the lowercase public GloVe vocab
+    assert exp.expand("WEB") == ["net", "site", "page"]
+    # OOV token: no candidates (the original survives unexpanded upstream)
+    assert exp.expand("zzz") == []
+
+
+def test_glove_expander_tie_break_by_word(tmp_path):
+    # equal cosines order by word asc — deterministic across runs
+    path = _write_glove(
+        tmp_path,
+        [
+            ("web", [1.0, 0.0]),
+            ("beta", [0.5, 0.5]),
+            ("alpha", [0.5, 0.5]),
+            ("gamma", [0.5, 0.5]),
+            ("far", [0.0, 1.0]),
+        ],
+    )
+    exp = GloVeExpander(path)
+    assert exp.expand("web") == ["alpha", "beta", "gamma"]
+
+
+def test_glove_expander_end_to_end_pipeline(tmp_path):
+    # full E1+E3: vectors file -> nearest-3 -> stopword/multiword/cap filters
+    path = _write_glove(
+        tmp_path,
+        [
+            ("web", [1.0, 0.0]),
+            ("the", [0.999, 0.01]),      # nearest, but a stopword: dropped
+            ("networks", [0.99, 0.05]),  # kept, stemmed to "network"
+            ("site", [0.9, 0.3]),        # capped out (1 expansion max)
+            ("query", [0.0, 1.0]),
+        ],
+    )
+    got = expand_query("web", GloVeExpander(path))
+    assert got == [("web", 1.0), ("network", 0.5)]
 
 
 CFG = EngineConfig(postings_block_size=64)
