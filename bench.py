@@ -257,10 +257,16 @@ def main() -> None:
             q.existential(spark, tables, BM25_QUERIES[2]).count()
             out["existential"] = time.time() - t0
             # the whole BM25 query set as ONE plan — compare against
-            # sum(bm25_q*) to read the batch amortization directly
+            # sum(bm25_q*) to read the batch amortization directly; the
+            # production WAND threshold lets the per-qid router decide
+            # (at this SF everything routes to the shared exhaustive scan)
             t0 = time.time()
             q.bm25_topk_batch(
-                spark, tables, list(enumerate(BM25_QUERIES, 1)), k=20
+                spark,
+                tables,
+                list(enumerate(BM25_QUERIES, 1)),
+                k=20,
+                config=wand_cfg,
             ).collect()
             out["bm25_batch_5q"] = time.time() - t0
             return out

@@ -111,11 +111,15 @@ def prepare_query(
     return PreparedQuery(terms, dfs, idfs, n_docs, avgdl)
 
 
-def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """Decode + explode posting-block rows to (term, docid, tf, dl)."""
+def decode_blocks(blocks: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Decode + explode posting-block rows to (*keep, term, docid, tf, dl).
+
+    ``keep`` carries extra block-level columns (e.g. ``block_id`` for the
+    batched WAND's per-(qid, block) survivor semi-join) through the explode."""
     dec = blocks.withColumn("dec", _decode_udf()("gaps", "tfs", "dls"))
+    head = [*keep, "term"]
     return dec.select(
-        "term",
+        *head,
         F.explode(
             F.arrays_zip(
                 F.col("dec.docids").alias("docid"),
@@ -124,7 +128,7 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
             )
         ).alias("p"),
     ).select(
-        "term",
+        *head,
         F.col("p.docid").alias("docid"),
         F.col("p.tf").alias("tf"),
         F.col("p.dl").alias("dl"),
@@ -314,6 +318,7 @@ def bm25_topk_batch(
     pagerank_weight: float | None = None,
     config: EngineConfig | None = None,
     expander=None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """N queries → ONE distributed pass: (qid, docid, score), rank-identical
     per qid to :func:`bm25_topk` run query-by-query.
@@ -340,6 +345,15 @@ def bm25_topk_batch(
     PageRank by each query's own result-set maximum, exactly like
     `_finalize`. Output is not globally sorted; sort or window per qid at
     the call site if presentation order matters.
+
+    **WAND routing.** Each qid is routed by the same driver arithmetic as
+    :func:`bm25_topk_wand` (Σ DF ≥ ``wand_min_postings`` AND rare-term
+    coverage ≥ k; only with bounded ``k`` and no PageRank blend — pruning is
+    unsound otherwise). Qualifying qids share ONE batched block-max WAND
+    pass (:func:`_bm25_batch_raw_wand`: one metadata aggregation, one seed
+    decode, one survivor decode — each block decoded at most once for the
+    whole sub-batch); the rest share the exhaustive scan. Results are
+    rank-identical either way; ``stats['paths']`` records the per-qid route.
     """
     config = config or tables.config
     if pagerank_weight is None:
@@ -352,9 +366,45 @@ def bm25_topk_batch(
     if not pqs:
         return _local_df(spark, [], BATCH_TOPK_SCHEMA)
 
-    union_terms = sorted({t for pq in pqs.values() for t, _ in pq.terms})
-    posting = matched_postings(spark, tables, union_terms)
+    # per-qid routing — identical arithmetic to the single-query entry
+    # point (see bm25_topk_wand): decode volume must clear the measured
+    # crossover AND the query must be selective enough for θ to rise
+    wand_pqs: dict[int, PreparedQuery] = {}
+    exh_pqs: dict[int, PreparedQuery] = dict(pqs)
+    if k is not None and pagerank_weight == 0.0:
+        forced = config.wand_min_postings == 0
+        for qid, pq in pqs.items():
+            rare_df_max = max(
+                1, pq.n_docs // max(config.wand_rare_df_divisor, 1)
+            )
+            rare_cover = sum(df for df in pq.dfs if df <= rare_df_max)
+            if forced or (
+                sum(pq.dfs) >= config.wand_min_postings and rare_cover >= k
+            ):
+                wand_pqs[qid] = exh_pqs.pop(qid)
+    if stats is not None:
+        stats["paths"] = {
+            qid: ("wand" if qid in wand_pqs else "exhaustive")
+            for qid in pqs
+        }
 
+    parts = []
+    if exh_pqs:
+        parts.append(_bm25_batch_raw_exhaustive(spark, tables, exh_pqs, config))
+    if wand_pqs:
+        parts.append(
+            _bm25_batch_raw_wand(spark, tables, wand_pqs, k, config, stats)
+        )
+    raw = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return _finalize_batch(spark, tables, raw, k, pagerank_weight)
+
+
+def _batch_query_frames(
+    spark: SparkSession, pqs: dict[int, PreparedQuery]
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-sized (qid, term, weight, idf) and (qid, sum_idf) frames —
+    the batch equivalents of the single-query literal maps, attached as
+    broadcast joins (at batch size a real broadcast beats N literal plans)."""
     qt = _local_df(
         spark,
         [
@@ -369,12 +419,24 @@ def bm25_topk_batch(
         [(qid, float(sum(pq.idfs))) for qid, pq in pqs.items()],
         "qid int, sum_idf double",
     )
+    return qt, qsum
 
+
+def _bm25_batch_raw_exhaustive(
+    spark: SparkSession,
+    tables: IndexTables,
+    pqs: dict[int, PreparedQuery],
+    config: EngineConfig,
+) -> DataFrame:
+    """Shared-scan exhaustive batch scoring → (qid, docid, raw)."""
+    union_terms = sorted({t for pq in pqs.values() for t, _ in pq.terms})
+    posting = matched_postings(spark, tables, union_terms)
+    qt, qsum = _batch_query_frames(spark, pqs)
     k1, b = config.bm25_k1, config.bm25_b
     avgdl = next(iter(pqs.values())).avgdl
     f = F.col("tf") * F.col("weight")
     B = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
-    raw = (
+    return (
         posting.join(F.broadcast(qt), "term")
         .withColumn("contrib", F.col("idf") * (f * F.lit(k1 + 1.0) / (f + B)))
         .groupBy("qid", "docid")
@@ -383,7 +445,186 @@ def bm25_topk_batch(
         .select("qid", "docid", (F.col("contrib") + F.col("sum_idf")).alias("raw"))
     )
 
-    return _finalize_batch(spark, tables, raw, k, pagerank_weight)
+
+def _batch_score_blocks(
+    decoded: DataFrame,  # (block_id, term, docid, tf, dl)
+    qt: DataFrame,
+    qsum: DataFrame,
+    pairs: DataFrame,  # (qid, block_id) — which blocks count for which qid
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> DataFrame:
+    """Score decoded postings per (qid, docid), restricted to each qid's
+    admitted (qid, block_id) pairs. The decode upstream is SHARED across
+    qids — a block decodes once however many queries admit it; the per-qid
+    fan-out happens JVM-side on the already-decoded rows."""
+    f = F.col("tf") * F.col("weight")
+    B = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    return (
+        decoded.join(F.broadcast(qt), "term")
+        .join(F.broadcast(pairs), ["qid", "block_id"], "left_semi")
+        .withColumn("contrib", F.col("idf") * (f * F.lit(k1 + 1.0) / (f + B)))
+        .groupBy("qid", "docid")
+        .agg(F.sum("contrib").alias("contrib"))
+        .join(F.broadcast(qsum), "qid")
+        .select("qid", "docid", (F.col("contrib") + F.col("sum_idf")).alias("raw"))
+    )
+
+
+def _bm25_batch_raw_wand(
+    spark: SparkSession,
+    tables: IndexTables,
+    pqs: dict[int, PreparedQuery],
+    k: int,
+    config: EngineConfig,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batched block-max WAND → (qid, docid, raw), rank-identical per qid to
+    :func:`bm25_topk_wand`.
+
+    Same three phases as the single-query operator, amortized over the
+    sub-batch with two driver actions total (vs 2-3 PER query sequentially):
+
+      1. metadata pass: per-(qid, block) upper bounds from max_tf/min_dl —
+         one aggregation over blocks ⋈ broadcast query frame;
+      2. seed: per-qid top groups by UB (window rank, bounded collect),
+         cumulative-cover floors identical to the single-query seed; the
+         UNION of seed blocks decodes once, θ_qid = k-th seed raw score
+         (one collect for every qid's θ);
+      3. prune + exact: groups with UB ≥ θ_qid survive per qid (qids whose
+         seed couldn't fill k keep everything — no safe pruning); the union
+         of surviving blocks decodes once, scores fan out per qid via the
+         (qid, block_id) semi-join.
+
+    Soundness per qid is the single-query argument verbatim: any pruned doc
+    scores ≤ UB(group) < θ_qid ≤ true k-th score, and the argmax doc always
+    survives, so max-normalization in `_finalize_batch` sees the true max."""
+    union_terms = sorted({t for pq in pqs.values() for t, _ in pq.terms})
+    blocks = (
+        tables.postings(spark).filter(F.col("term").isin(union_terms)).persist()
+    )
+    qt, qsum = _batch_query_frames(spark, pqs)
+    k1, b = config.bm25_k1, config.bm25_b
+    avgdl = next(iter(pqs.values())).avgdl
+    group_ub = None
+    try:
+        # --- 1. per-(qid, block) upper bounds (JVM-only column math) ------
+        f_max = F.col("max_tf") * F.col("weight")
+        b_min = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("min_dl") / F.lit(avgdl)
+        )
+        ub_expr = F.greatest(
+            F.col("idf") * (f_max * F.lit(k1 + 1.0) / (f_max + b_min)),
+            F.lit(0.0),  # idf<0 ⇒ contribution < 0; 0 is a safe upper bound
+        )
+        group_ub = (
+            blocks.join(F.broadcast(qt), "term")
+            .withColumn("ub", ub_expr)
+            .groupBy("qid", "block_id")
+            .agg(F.sum("ub").alias("ub_sum"), F.max("df").alias("min_docs"))
+            .join(F.broadcast(qsum), "qid")
+            .select(
+                "qid",
+                "block_id",
+                (F.col("ub_sum") + F.col("sum_idf")).alias("group_ub"),
+                "min_docs",
+            )
+            .persist()
+        )
+
+        # --- 2. seed: per-qid UB-ranked prefix, same floors as single ----
+        lim = max(4 * k, 64)
+        rn = F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.desc("group_ub"), F.asc("block_id")
+            )
+        )
+        seed_rows = (
+            group_ub.withColumn("rn", rn)
+            .filter(F.col("rn") <= lim)  # bounded driver transfer: Nq·lim
+            .select("qid", "block_id", "min_docs", "rn")
+            .collect()
+        )
+        per_qid: dict[int, list] = {}
+        for r in sorted(seed_rows, key=lambda r: (r["qid"], r["rn"])):
+            per_qid.setdefault(r["qid"], []).append(r)
+        seed_pairs: list[tuple[int, int]] = []
+        for qid, rows in per_qid.items():
+            min_groups = min(k, len(rows))
+            covered = taken = 0
+            for r in rows:
+                seed_pairs.append((qid, r["block_id"]))
+                covered += r["min_docs"]
+                taken += 1
+                if covered >= 4 * k and taken >= min_groups:
+                    break
+        seed_pair_df = _local_df(
+            spark, seed_pairs, "qid int, block_id long"
+        )
+        seed_ids = sorted({bid for _, bid in seed_pairs})
+        dec_seed = decode_blocks(
+            blocks.filter(F.col("block_id").isin(seed_ids)),
+            keep=("block_id",),
+        )
+        raw_seed = _batch_score_blocks(
+            dec_seed, qt, qsum, seed_pair_df, k1, b, avgdl
+        )
+        kth_rows = (
+            raw_seed.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.desc("raw"), F.asc("docid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= k)
+            .groupBy("qid")
+            .agg(
+                F.min("raw").alias("theta"),
+                F.count(F.lit(1)).alias("n_seed"),
+            )
+            .collect()
+        )
+        # qids whose seed filled k get a θ; everyone else keeps all blocks
+        thetas = {
+            r["qid"]: float(r["theta"])
+            for r in kth_rows
+            if r["n_seed"] >= k and r["theta"] is not None
+        }
+        # --- 3. prune + exact: shared decode of the survivor union -------
+        theta_df = _local_df(
+            spark,
+            [(qid, t) for qid, t in thetas.items()],
+            "qid int, theta double",
+        )
+        surv = (
+            group_ub.join(F.broadcast(theta_df), "qid", "left")
+            .filter(
+                F.col("theta").isNull()
+                | (F.col("group_ub") >= F.col("theta"))
+            )
+            .select("qid", "block_id")
+        )
+        if stats is not None:
+            stats["batch_theta"] = thetas
+            stats["batch_seed_groups"] = len(seed_pairs)
+            stats["batch_pairs_total"] = group_ub.count()
+            stats["batch_pairs_survived"] = surv.count()
+        dec = decode_blocks(
+            blocks.join(
+                F.broadcast(surv.select("block_id").distinct()),
+                "block_id",
+                "left_semi",
+            ),
+            keep=("block_id",),
+        )
+        return _batch_score_blocks(dec, qt, qsum, surv, k1, b, avgdl)
+    finally:
+        blocks.unpersist()
+        if group_ub is not None:
+            group_ub.unpersist()
 
 
 def _finalize_batch(

@@ -339,3 +339,71 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col)
     )
     return brute_force_topk(cand_vecs, query_vec, k, id_col, vec_col)
+
+
+def ivf_write(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    assignments: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file the `ivf_index` docstring promises:
+    vectors joined to their list assignment, written ``partitionBy("cluster")``
+    — each k-means list is its own partition directory, so a probed query's
+    ``cluster IN (...)`` filter prunes to ``nprobe`` directories at PLANNING
+    time (Catalyst partition pruning; the non-probed lists' files are never
+    opened). Centroids are driver-sized and ride along as a Spark-invisible
+    ``_ivf_centroids.json`` sidecar inside the table directory.
+
+    At 100 TB this is the layout that makes IVF an index rather than a scan:
+    probe cost is O(nprobe/n_centroids) of the data by file pruning alone,
+    before any row is read."""
+    import json
+    import os
+
+    (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .join(assignments.select(id_col, "cluster"), id_col)
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(np.asarray(centroids, dtype=float).tolist(), f)
+
+
+def ivf_load_centroids(path: str) -> np.ndarray:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        return np.asarray(json.load(f), dtype=np.float64)
+
+
+def ivf_topk_from_path(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` over a materialized inverted file (:func:`ivf_write`):
+    rank centroids on the driver, scan ONLY the probed lists' partition
+    directories (the ``cluster IN (...)`` predicate is a partition filter —
+    assert via ``df.inputFiles()``/the plan's PartitionFilters), exact cosine
+    re-rank of those lists."""
+    centroids = ivf_load_centroids(path)
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = (centroids @ q) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probe = [int(c) for c in np.argsort(-sims)[: max(1, nprobe)]]
+    lists = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return brute_force_topk(
+        lists.select(F.col(id_col), F.col(vec_col)), query_vec, k,
+        id_col, vec_col,
+    )

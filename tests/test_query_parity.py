@@ -274,3 +274,69 @@ def test_vsm_batch_matches_sequential(spark, tables):
         )
         for (gd, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, abs=1e-9), f"qid {qid} doc {gd}"
+
+
+def test_bm25_batch_wand_routing_mixed(spark, tables):
+    """Per-qid WAND routing inside the batch: with a production-style
+    threshold, selective queries take the batched pruned path while
+    common-only queries stay on the shared exhaustive scan — and every qid
+    remains rank-identical to its sequential bm25_topk ranking."""
+    cfg = CFG.with_(wand_min_postings=50, wand_rare_df_divisor=40)
+    qs = [
+        (0, "web search page"),       # common terms only: rare_cover < k
+        (1, "w00483 w00590 w00000"),  # rare (df 1,1) + head: WAND-routed
+        (2, "w00000"),                # head term, rare_cover=0: exhaustive
+    ]
+    stats: dict = {}
+    batch = _batch_by_qid(
+        q.bm25_topk_batch(spark, tables, qs, k=2, config=cfg, stats=stats)
+    )
+    assert set(stats["paths"].values()) == {"wand", "exhaustive"}, (
+        f"routing not mixed at this corpus: {stats['paths']}"
+    )
+    for qid, query in qs:
+        exp = [
+            (r["docid"], r["score"])
+            for r in q.bm25_topk(spark, tables, query, k=2, config=cfg).collect()
+        ]
+        got = batch.get(qid, [])
+        assert [d for d, _ in got] == [d for d, _ in exp], (
+            f"qid {qid} ({query!r}) [{stats['paths'][qid]}]: "
+            f"got {got} want {exp}"
+        )
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9), f"qid {qid} doc {gd}"
+
+
+def test_bm25_batch_wand_actually_prunes(spark, tmp_path):
+    """Batched WAND must drop (qid, block) pairs whose metadata bound can't
+    reach that qid's θ — on the same heterogeneous corpus the single-query
+    pruning test uses — while every qid stays oracle-identical."""
+    cfg = EngineConfig(postings_block_size=16, wand_min_postings=0)
+    filler = " ".join(f"filler{i:02d}" for i in range(19))
+    docs = []
+    for i in range(200):
+        if i < 10:
+            body = "hotword " * 8 + " ".join(f"filler{j:02d}" for j in range(12))
+        elif i % 10 == 0:
+            body = "hotword " + filler[: len(filler)]
+        else:
+            body = filler + " tail"
+        docs.append((f"u{i:05d}", body))
+    webtext = spark.createDataFrame(docs, "url string, text string")
+    t = build_index(spark, webtext, str(tmp_path / "wandbidx"), cfg)
+    oidx = oracle.build_index(docs, cfg)
+
+    qs = [(0, "hotword"), (1, "hotword tail")]
+    stats: dict = {}
+    batch = _batch_by_qid(
+        q.bm25_topk_batch(spark, t, qs, k=5, stats=stats)
+    )
+    assert set(stats["paths"].values()) == {"wand"}
+    assert stats["batch_pairs_survived"] < stats["batch_pairs_total"], stats
+    for qid, query in qs:
+        exp = oracle.bm25_topk(oidx, query, k=5)
+        got = batch[qid]
+        assert [d for d, _ in got] == [d for d, _ in exp], f"qid {qid}"
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, abs=1e-9), f"qid {qid} doc {gd}"

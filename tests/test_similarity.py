@@ -85,3 +85,49 @@ def test_ivf_recall_and_exactness_at_full_probe(spark):
     for (gi, gc), (ei, ec) in zip(full, _numpy_topk(vecs, q, 10)):
         assert gi == ei
         assert gc == pytest.approx(ec, abs=1e-6)
+
+
+def test_ivf_partitioned_write_prunes_and_matches(spark, tmp_path):
+    """The materialized inverted file (ivf_write: partitionBy cluster) must
+    (a) plan the probe as a PARTITION filter — only the probed lists' files
+    are read — and (b) return exactly what ivf_topk returns on the same
+    centroids/assignments."""
+    df, vecs = _emb_df(spark, n=300)
+    centroids, assignments = similarity.ivf_index(df, n_centroids=8, seed=7)
+    path = str(tmp_path / "ivf_table")
+    similarity.ivf_write(df, centroids, assignments, path)
+
+    q = (vecs[7] + np.random.default_rng(1).standard_normal(16) * 0.01).tolist()
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk_from_path(
+            spark, path, q, k=10, nprobe=4
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            df, centroids, assignments, q, k=10, nprobe=4
+        ).collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, gc), (_, wc) in zip(got, want):
+        assert gc == pytest.approx(wc, abs=1e-9)
+
+    # pruning proof: the probed scan touches fewer files than the table,
+    # and the physical plan carries the cluster predicate as a
+    # PartitionFilter (planning-time pruning, not a post-scan filter)
+    from pyspark.sql import functions as F
+
+    full = spark.read.parquet(path)
+    n_clusters = full.select("cluster").distinct().count()
+    assert n_clusters > 4  # the probe genuinely excludes lists
+    probed = full.filter(F.col("cluster").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan  # planning-time pruning
+    # runtime proof: only the two probed lists' files produce rows
+    n_files_read = probed.select(F.input_file_name()).distinct().count()
+    n_files_all = full.select(F.input_file_name()).distinct().count()
+    assert n_files_read < n_files_all
