@@ -43,6 +43,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--attempts", type=int, default=3)
     args = ap.parse_args()
 
     from search_engine_trec_fair_ranking_19_spark.config import EngineConfig
@@ -86,33 +87,62 @@ def main() -> None:
     exhaustive_cfg = cfg.with_(wand_min_postings=1 << 62)
     hybrid_cfg = cfg  # production threshold — the router decides
 
-    def timed(config) -> list[float]:
-        out = []
-        for _ in range(args.trials):
-            t0 = time.time()
-            q.bm25_topk_batch(
-                spark, tables, batch, k=10, config=config
-            ).collect()
-            out.append(round(time.time() - t0, 3))
-        return out
-
-    with _ArmProber(interval=4.0) as prober:
+    def run_once(config) -> float:
         t0 = time.time()
-        # interleave E,H,H,E (ABBA) so both variants see the same window
-        ex_t = timed(exhaustive_cfg)
-        hy_t = timed(hybrid_cfg)
-        hy_t += timed(hybrid_cfg)
-        ex_t += timed(exhaustive_cfg)
-        t1 = time.time()
-    window = prober.window(t0, t1)
-    probe_med = statistics.median(window) if window else 0.0
-    spread = {
-        "exhaustive": round(max(ex_t) / min(ex_t), 3),
-        "hybrid": round(max(hy_t) / min(hy_t), 3),
-    }
-    admissible = probe_med >= HEALTH_FLOOR_MBPS and all(
-        s <= ARM_REPRO_MAX for s in spread.values()
+        q.bm25_topk_batch(spark, tables, batch, k=10, config=config).collect()
+        return round(time.time() - t0, 3)
+
+    # untimed warmups: both variants' plan shapes JIT before any timed run
+    # (a cold first run measured 54.8s vs 33.2s warm for identical work —
+    # that asymmetry fails the spread gate as if the window had shifted)
+    run_once(exhaustive_cfg)
+    run_once(hybrid_cfg)
+
+    # retry whole timed sections until one lands in a stable window (the
+    # host collapses on a minutes timescale); keep the best attempt either
+    # way, with every attempt's runs committed for the record
+    attempts = []
+    for _ in range(args.attempts):
+        with _ArmProber(interval=4.0) as prober:
+            t0 = time.time()
+            ex_t, hy_t = [], []
+            # ABBA interleave so both variants sample the same window
+            for i in range(args.trials):
+                order = (
+                    [(ex_t, exhaustive_cfg), (hy_t, hybrid_cfg)]
+                    if i % 2 == 0
+                    else [(hy_t, hybrid_cfg), (ex_t, exhaustive_cfg)]
+                )
+                for sink, cfg_i in order + order[::-1]:
+                    sink.append(run_once(cfg_i))
+            t1 = time.time()
+        window = prober.window(t0, t1)
+        probe_med = statistics.median(window) if window else 0.0
+        spread = {
+            "exhaustive": round(max(ex_t) / min(ex_t), 3),
+            "hybrid": round(max(hy_t) / min(hy_t), 3),
+        }
+        admissible = probe_med >= HEALTH_FLOOR_MBPS and all(
+            s <= ARM_REPRO_MAX for s in spread.values()
+        )
+        attempts.append(
+            {
+                "ex_t": ex_t,
+                "hy_t": hy_t,
+                "probe_med": probe_med,
+                "spread": spread,
+                "admissible": admissible,
+            }
+        )
+        print(json.dumps(attempts[-1]), flush=True)
+        if admissible:
+            break
+    best = max(
+        attempts, key=lambda a: (a["admissible"], a["probe_med"])
     )
+    ex_t, hy_t = best["ex_t"], best["hy_t"]
+    probe_med, spread = best["probe_med"], best["spread"]
+    admissible = best["admissible"]
 
     stats: dict = {}  # untimed instrumented run for routing + survivors
     q.bm25_topk_batch(
@@ -136,6 +166,11 @@ def main() -> None:
         "probe_mbps_median": round(probe_med, 1),
         "run_spread": spread,
         "window_admissible": admissible,
+        "all_attempts": [
+            {k: v for k, v in a.items() if k != "probe_med"}
+            | {"probe_mbps_median": round(a["probe_med"], 1)}
+            for a in attempts
+        ],
         "admission_params": {
             "health_floor_mbps": HEALTH_FLOOR_MBPS,
             "arm_repro_max": ARM_REPRO_MAX,
