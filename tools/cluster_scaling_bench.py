@@ -126,6 +126,17 @@ def cluster_session(cores_max: int, app_name: str, extra_conf: dict | None = Non
         # (a 1M-doc 4-executor build measured 686s vs ~160s expected).
         .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.python.unix.domain.socket.dir", "/dev/shm/pyuds")
+        # Loopback-tuned shuffle transport (tools/cluster_tax_probe.py,
+        # measured 1.098x on the 4-exec arm in an admissible pair): with
+        # shuffle files on tmpfs and fetches over 127.0.0.1, LZ4
+        # encode/decode is pure CPU with no bandwidth to save, and
+        # fetch-window/buffer sizes tuned for real networks only throttle.
+        # On a real multi-host cluster keep compression ON - this conf is
+        # per-topology, chosen for the measured loopback cluster.
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.reducer.maxSizeInFlight", "256m")
+        .config("spark.shuffle.file.buffer", "1m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -108,9 +108,18 @@ def main() -> None:
     result = {"n_docs": args.docs, "hw_window": _hw_window()}
 
     # --- component 1: shuffle transport conf (4-exec vs 4-exec pair) ------
+    # cluster_session now defaults to SHUFFLE_TUNED (this probe's result);
+    # the baseline arm re-pins the stock Spark transport so the comparison
+    # stays meaningful
+    stock = {
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+        "spark.reducer.maxSizeInFlight": "48m",
+        "spark.shuffle.file.buffer": "32k",
+    }
     for attempt in range(args.attempts):
         pair = _abba_pair(
-            [("baseline_4x", (4, None)), ("shuffle_tuned_4x", (4, SHUFFLE_TUNED))],
+            [("baseline_4x", (4, stock)), ("shuffle_tuned_4x", (4, SHUFFLE_TUNED))],
             corpus,
             warmup,
         )
