@@ -58,6 +58,14 @@ class EngineConfig:
     # Driver-side arithmetic on the already-fetched per-term DFs — zero jobs.
     wand_rare_df_divisor: int = 1000
 
+    # build-time doc_stats join strategy: up to this many vocabulary terms
+    # the per-term DF broadcasts onto the cached token stream (one docid
+    # agg, no extra shuffle); above it — a web-scale vocabulary can't be
+    # broadcast, and Catalyst's silent fallback would reshuffle the whole
+    # token stream by term — DF joins the 4096x-smaller postings BLOCKS
+    # table instead (doc_stats_from_postings)
+    doc_stats_broadcast_max_terms: int = 2_000_000
+
     # query-time vocabulary handling: up to this many terms the whole
     # vocabulary is loaded into a driver dict (the reference's query-time
     # HashMap, `Indexer.java:643-651`); above it, term lookups fall back to a

@@ -577,6 +577,53 @@ def doc_stats_table(
     )
 
 
+def doc_stats_from_postings(
+    postings: DataFrame, vocabulary: DataFrame, n_docs: int
+) -> DataFrame:
+    """doc_stats computed from the postings BLOCKS table — the 10^12-doc path.
+
+    :func:`doc_stats_table` attaches per-term DF to the token stream with a
+    join against the vocabulary, which Catalyst executes as a broadcast only
+    while the vocabulary fits the broadcast budget. A web-scale vocabulary
+    (billions of distinct terms at 10^12 docs — urls, typos, numbers survive
+    stemming) cannot be broadcast, and the silent fallback is a sort-merge
+    join that reshuffles the ENTIRE token stream by term — the most
+    expensive possible plan for a metadata join.
+
+    This variant joins the vocabulary against the ENCODED blocks table
+    instead: one row per (term, block) — postings_block_size (4096) times
+    fewer rows than the token stream — so the term join is a small
+    co-keyed shuffle at any vocabulary size. DF rides the block rows
+    through the Arrow decode (``keep``), and one groupBy(docid) computes
+    token_count / max_tf / vsm_weight in a single aggregation (dl is
+    inlined per posting; max_tf is the doc-global max because every
+    posting of the doc is present). Same closed-form math as
+    `Indexer.updateVSMWeights:570-623`; selected by
+    ``EngineConfig.doc_stats_broadcast_max_terms``."""
+    from .query import decode_blocks  # local import: query imports this module
+
+    joined = postings.join(
+        vocabulary.withColumnRenamed("df", "term_df"), "term"
+    )
+    toks = decode_blocks(joined, keep=("term_df",))
+    return toks.groupBy("docid").agg(
+        F.first("dl").alias("token_count"),
+        F.max("tf").alias("max_tf"),
+        (
+            F.sqrt(
+                F.sum(
+                    F.pow(
+                        F.col("tf")
+                        * F.log(F.lit(float(n_docs)) / F.col("term_df")),
+                        F.lit(2.0),
+                    )
+                )
+            )
+            / F.max("tf")
+        ).alias("vsm_weight"),
+    )
+
+
 def build_index(
     spark: SparkSession,
     webtext: DataFrame,
@@ -772,9 +819,21 @@ def _build_index_impl(
         # N counts every parsed doc, including zero-token ones
         # (`Indexer.java:195-196`: N = docs parsed, avgdl = totalTokens / N)
         n_docs = n_docs_assigned
-        stats = doc_stats_table(
-            tokens, n_docs, vocabulary=tables._read(spark, "vocabulary")
-        )
+        vocab_df = tables._read(spark, "vocabulary")
+        # parquet count() is metadata-only — choosing the join strategy
+        # costs no scan. Small vocab: broadcast DF onto the cached token
+        # stream (one docid agg, zero extra shuffles). Web-scale vocab
+        # (> doc_stats_broadcast_max_terms): DF joins the blocks table
+        # instead — see doc_stats_from_postings.
+        n_terms = vocab_df.count()
+        if n_terms <= config.doc_stats_broadcast_max_terms:
+            stats = doc_stats_table(
+                tokens, n_docs, vocabulary=F.broadcast(vocab_df)
+            )
+        else:
+            stats = doc_stats_from_postings(
+                tables._read(spark, "postings"), vocab_df, n_docs
+            )
         # total tokens rides the doc_stats WRITE as an observed metric — no
         # separate read-back aggregation job (at 100 TB that job re-scans the
         # whole doc_stats table for one scalar)

@@ -63,6 +63,7 @@ from ..operators.index_build import (
     assign_doc_ids,
     build_index,
     build_postings_blocks,
+    doc_stats_from_postings,
     doc_stats_table,
     tokenize,
     write_postings,
@@ -237,10 +238,20 @@ def ingest_batch(
             vocab_now = spark.read.parquet(
                 os.path.join(index_dir, "vocabulary")
             )
-            append(
-                doc_stats_table(tokens, n_docs, vocabulary=vocab_now),
-                "doc_stats",
-            )
+            # same join-strategy gate as build_index stage 4: broadcast DF
+            # onto this batch's tokens while the vocabulary fits; at
+            # web-scale vocabularies join DF against the batch's (much
+            # smaller) encoded blocks instead
+            if vocab_now.count() <= config.doc_stats_broadcast_max_terms:
+                batch_stats = doc_stats_table(
+                    tokens, n_docs, vocabulary=F.broadcast(vocab_now)
+                )
+            else:
+                # `blocks` is THIS batch's encoded frame (re-derived from
+                # the persisted tokens — one extra encode pass, far cheaper
+                # than reshuffling the token stream by term)
+                batch_stats = doc_stats_from_postings(blocks, vocab_now, n_docs)
+            append(batch_stats, "doc_stats")
             # doc_ids last: it gates the url anti-join, so committed-looking
             # docs always have their postings/doc_stats already in place
             append(docs.select("docid", "url"), "doc_ids")
@@ -320,12 +331,12 @@ def compact_index(
     _swap(index_dir, "postings", spark)
     tables.refresh()  # the cached postings frame points at replaced files
 
-    # exact doc_stats against the CURRENT global DF (max_tf = per-doc max TF)
+    # exact doc_stats against the CURRENT global DF, in ONE decode + agg
+    # (doc_stats_from_postings computes max_tf inside the docid agg — the
+    # earlier two-pass decode→max→join→agg shape is strictly heavier)
     n_docs = int(tables.collection_stats(spark)["n_docs"])
-    fresh = decode_blocks(tables.postings(spark))
-    per_doc = fresh.groupBy("docid").agg(F.max("tf").alias("max_tf"))
-    stats = doc_stats_table(
-        fresh.join(per_doc, "docid"), n_docs, vocabulary=tables.vocabulary(spark)
+    stats = doc_stats_from_postings(
+        tables.postings(spark), tables.vocabulary(spark), n_docs
     )
     stats.write.mode("overwrite").parquet(
         os.path.join(index_dir, "doc_stats_next")

@@ -115,3 +115,26 @@ def test_resume_skips_completed_stages(spark, tables, oracle_index):
     t2 = build_index(spark, webtext, tables.path, CFG, resume=True)
     after = {r["term"]: r["df"] for r in t2.vocabulary(spark).collect()}
     assert before == after == oracle_index.df
+
+
+def test_doc_stats_blocks_path_matches_oracle(
+    spark, corpus_pdf, oracle_index, tmp_path
+):
+    """The web-scale doc_stats path (DF joined onto the encoded blocks table,
+    doc_stats_from_postings — selected when the vocabulary exceeds the
+    broadcast budget) must produce the same table as the broadcast path,
+    checked against the oracle with FP tolerance (summation order differs)."""
+    webtext = corpus_spark(spark, N_DOCS, seed=7, n_partitions=7)
+    cfg = CFG.with_(doc_stats_broadcast_max_terms=0)  # force the blocks path
+    tables2 = build_index(spark, webtext, str(tmp_path / "blkidx"), cfg)
+    rows = tables2.doc_stats(spark).collect()
+    assert len(rows) == sum(
+        1 for v in oracle_index.token_count.values() if v > 0
+    )
+    for r in rows:
+        d = r["docid"]
+        assert r["token_count"] == oracle_index.token_count[d]
+        assert r["max_tf"] == oracle_index.max_tf[d]
+        assert r["vsm_weight"] == pytest.approx(
+            oracle_index.vsm_weight[d], rel=1e-9
+        )
