@@ -649,6 +649,20 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup PAIRS resolved into per-doc cluster decisions via the
+    connected-components fixpoint (min-label propagation + pointer
+    jumping, dedup.py). The oracle computes the same components with a
+    recursive transitive-closure CTE — exact at gate scale, where the
+    largest component is tiny; the Spark side is the log-round 100 TB
+    shape. Threshold 0.1 on the exact n-gram Jaccard pairs yields multi-hop
+    clusters (sizes up to 4 at sf0.01), so transitivity is actually
+    exercised, not just pair echo."""
+    docs = load_documents(spark, sf_dir).filter(F.col("doc_id") < 150)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs WITH a full SQL oracle: at threshold 0.5
     the 32-band/2-row family's miss probability is (1 − s²)³² < 1e-4, and on
@@ -840,6 +854,7 @@ QUERIES = {
     "char_histogram": q_char_histogram,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_brute_force": q_ann_brute_force,
@@ -1037,6 +1052,47 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE shared / (sa.n + sb.n - shared)::DOUBLE >= 0.05
+""",
+    "dedup_clusters": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents WHERE doc_id < 150
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE shared / (sa.n + sb.n - shared)::DOUBLE >= 0.1
+),
+sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+  WHERE d.doc_id < 150
+)
+SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size,
+       (doc_id = component) AS is_canonical
+FROM labeled
 """,
     "ann_cosine_brute_force": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -466,3 +466,145 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components + canonical selection)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair set: (node, component).
+
+    ``component`` is the MINIMUM node id reachable from ``node`` — the
+    deterministic cluster label every dedup policy downstream keys on.
+    ``nodes`` optionally supplies the full universe (isolated nodes become
+    singleton components); default universe = nodes appearing in ``pairs``.
+
+    Algorithm: iterated min-label propagation WITH pointer jumping —
+    each round sets ``label(u) = min(label(u), min over neighbors v of
+    label(v))`` and then compresses ``label(u) = label(label(u))``. The
+    pointer-jumping step is what turns the O(diameter) naive propagation
+    into the O(log n)-round regime of the alternating-star MapReduce
+    algorithms (Kiveris et al. 2014): a length-2^k label chain collapses in
+    k rounds. Each round is two shuffles (one edge join, one label
+    self-join) plus one scalar convergence agg, with a localCheckpoint to
+    cut lineage — the same driver-loop shape as the PageRank fixpoint
+    (pagerank.py). Invariant: labels only decrease and always name a
+    reachable node, so the fixpoint (no label changed) is exactly the
+    per-component minimum.
+
+    At 100 TB the per-round cost is bounded by |E| + |V| shuffle rows with
+    AQE handling skewed mega-clusters; near-dup graphs converge in 2-4
+    rounds because dup clusters are low-diameter."""
+    sym = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    )
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = sym.distinct().localCheckpoint()
+
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    if nodes is not None:
+        universe = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+        labels = (
+            universe.join(labels, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+        )
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jump: label(u) <- label(label(u)) (always <= label(u)
+        # because labels are min-monotone and label(x) <= x)
+        lref = prop.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        jumped = (
+            prop.withColumnRenamed("label", "__label")
+            .join(lref, F.col("__label") == lref["l_node"], "left")
+            .select(
+                "node", F.coalesce("l_label", F.col("__label")).alias("label")
+            )
+        )
+        new_labels = jumped.localCheckpoint()
+        # labels are min-monotone, so "changed" is exactly label < old label
+        changed = (
+            new_labels.join(
+                labels.select(
+                    F.col("node").alias("o_node"), F.col("label").alias("o_label")
+                ),
+                new_labels["node"] == F.col("o_node"),
+            )
+            .filter(F.col("label") < F.col("o_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into per-doc cluster decisions:
+    (doc_id, component, cluster_size, is_canonical).
+
+    component = min doc_id reachable through the pair graph (singleton docs
+    are their own component); canonical = the component's minimum id — the
+    deterministic keep-one-per-cluster policy. One components fixpoint +
+    one window over component; the corpus-curation step every
+    training-data pipeline runs after candidate generation."""
+    comp = connected_components(
+        pairs, nodes=df.select(id_col), a_col=a_col, b_col=b_col
+    )
+    w = Window.partitionBy("component")
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp["node"])
+        .select("doc_id", "component")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("component")))
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The curated corpus: every column of ``df``, keeping exactly one doc
+    (the minimum id) per near-dup cluster. Anti-join shape: only
+    non-canonical ids shuffle."""
+    losers = dedup_clusters(df, pairs, id_col, a_col, b_col).filter(
+        ~F.col("is_canonical")
+    )
+    return df.join(
+        losers.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

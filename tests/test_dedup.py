@@ -83,3 +83,51 @@ def test_simhash_near_dups(spark):
     assert got[(1, 2)] == 0  # identical docs -> identical simhash
     assert (1, 3) in got  # one-word change -> small hamming distance
     assert (1, 4) not in got and (1, 6) not in got
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_isolates(spark):
+    # chain 10-20-30-40 (one component, min=10), pair {70,60}, isolate 99
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (70, 60)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in (10, 20, 30, 40, 60, 70, 99)], "id long")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 60: 60, 70: 60, 99: 99}
+
+
+def test_connected_components_long_path_converges_logarithmically(spark):
+    # a 64-node path is the adversarial diameter case; pointer jumping must
+    # close it well under the 50-iteration cap (naive propagation needs 63)
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = dedup.connected_components(pairs, max_iters=14).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == n
+
+
+def test_dedup_clusters_and_drop(spark):
+    docs = _docs_df(spark)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    clusters = {r["doc_id"]: r for r in dedup.dedup_clusters(docs, pairs).collect()}
+    # docs 1,2,3,5 form one near-dup cluster (canonical 1); 4 and 6 are singletons
+    assert clusters[1]["component"] == 1 and clusters[1]["is_canonical"]
+    for d in (2, 3, 5):
+        assert clusters[d]["component"] == 1 and not clusters[d]["is_canonical"]
+        assert clusters[d]["cluster_size"] == 4
+    for d in (4, 6):
+        assert clusters[d]["component"] == d and clusters[d]["is_canonical"]
+        assert clusters[d]["cluster_size"] == 1
+
+    kept = sorted(
+        r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()
+    )
+    assert kept == [1, 4, 6]
