@@ -58,12 +58,26 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 # word n-gram shingles + exact Jaccard
 # ---------------------------------------------------------------------------
 
+def _shingle_starts(toks: Column, n: int) -> Column:
+    """0-based shingle start offsets; EMPTY for docs shorter than n tokens.
+
+    `sequence(0, size-n)` alone is wrong for short docs: Spark infers step -1
+    when start > stop, yielding [0, -1, ...] and a slice/element_at at
+    position 0 — an error, not an empty array. Web corpora have sub-n-token
+    docs, so the guard is load-bearing."""
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased word tokens."""
     toks = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(
+            _shingle_starts(toks, n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
     )
 
 
@@ -129,12 +143,11 @@ def _hashed_shingles(
         "doc_id",
         F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
     )
-    idx = F.sequence(F.lit(0), F.greatest(F.size("__th") - n, F.lit(-1)))
     return th.select(
         "doc_id",
         F.array_distinct(
             F.transform(
-                idx,
+                _shingle_starts(F.col("__th"), n),
                 lambda i: F.xxhash64(
                     *[F.element_at("__th", i + j + 1) for j in range(n)]
                 ),
@@ -291,7 +304,11 @@ def minhash_dedup_pairs(
     :func:`ngram_jaccard_pairs` modulo 64-bit hash collisions (pinned by
     tests/test_gate_approx.py). Verification cost scales with the candidate
     set, not the corpus: two joins keyed on the candidate pair ids."""
-    hs = _hashed_shingles(df, id_col, text_col, n)
+    # sub-n-token docs have ZERO shingles: they can't be near-dups by this
+    # measure (the exact baseline emits no pairs for them) and their
+    # identical empty signatures would otherwise all collide in every band
+    # and 0/0 in the verify — drop them before signing
+    hs = _hashed_shingles(df, id_col, text_col, n).filter(F.size("hs") > 0)
     sigs = _signatures_from_hashed(hs, num_hashes)
     candidates = lsh_candidate_pairs(sigs, num_bands).persist()
     candidates.count()  # materialize once; small

@@ -131,3 +131,29 @@ def test_dedup_clusters_and_drop(spark):
         r["doc_id"] for r in dedup.drop_near_duplicates(docs, pairs).collect()
     )
     assert kept == [1, 4, 6]
+
+
+def test_short_docs_yield_empty_shingles(spark):
+    # docs with fewer than n tokens must produce ZERO shingles (not an
+    # error: sequence(0, size-n) with size<n is a descending [0,-1,...]
+    # and slice/element_at at 0 throws) — and never pair with anything
+    from pyspark.sql import functions as F
+
+    short = spark.createDataFrame(
+        [(1, "one two"), (2, "single"), (3, ""), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    sh = short.select(
+        "doc_id", F.size(dedup.shingles(F.col("text"), 3)).alias("n")
+    ).collect()
+    assert {r["doc_id"]: r["n"] for r in sh} == {1: 0, 2: 0, 3: 0, 4: 2}
+    assert dedup.ngram_jaccard_pairs(short, n=3, threshold=0.0).count() == 0
+    # hashed (MinHash) shingle path: same emptiness, no error
+    hs = dedup._hashed_shingles(short, "doc_id", "text", 3).collect()
+    assert {r["doc_id"]: len(r["hs"]) for r in hs} == {1: 0, 2: 0, 3: 0, 4: 2}
+    assert (
+        dedup.minhash_dedup_pairs(
+            short, num_hashes=16, num_bands=8, threshold=0.1
+        ).count()
+        == 0
+    )
