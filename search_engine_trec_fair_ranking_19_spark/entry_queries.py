@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .config import EngineConfig
 from .functions import text_analysis as ta
-from .operators import dedup, multimodal, similarity
+from .operators import curate, dedup, multimodal, similarity
 from .operators import query as q
 from .operators.evaluate import evaluate, evaluate_batch
 from .operators.index_build import IndexTables, build_index
@@ -663,6 +663,29 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(docs, pairs)
 
 
+def q_curation_decisions(spark, sf_dir):
+    """The full corpus-curation pipeline as one decision frame: language
+    filter → quality floor → exact dedup → near-dup clusters, drop reason
+    = first failing stage, canonical = min SURVIVING id. The oracle
+    re-derives every stage in SQL (lang/quality CTEs shared with their
+    standalone gates, recursive closure for the components). At sf0.01
+    this exercises 'lang' (118 docs), 'quality', and 'near_dup' drops; the
+    corpus has no exact dups, so that reason is pinned by
+    tests/test_curate.py instead."""
+    docs = load_documents(spark, sf_dir)
+    out = curate.curation_decisions(
+        docs,
+        langs=("en",),
+        min_quality=0.5,
+        shingle_n=2,
+        near_dup_threshold=0.1,
+    )
+    return out.select(
+        "doc_id", "lang", F.round("quality", 6).alias("quality"),
+        "drop_reason", "keep",
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs WITH a full SQL oracle: at threshold 0.5
     the 32-band/2-row family's miss probability is (1 − s²)³² < 1e-4, and on
@@ -855,6 +878,7 @@ QUERIES = {
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "curation_decisions": q_curation_decisions,
     "minhash_lsh_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_brute_force": q_ann_brute_force,
@@ -1093,6 +1117,82 @@ SELECT doc_id, component,
        count(*) OVER (PARTITION BY component) AS cluster_size,
        (doc_id = component) AS is_canonical
 FROM labeled
+""",
+    "curation_decisions": rf"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           / greatest(length(text), 1)::DOUBLE AS punct,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         text
+  FROM documents
+),
+langed AS (
+  SELECT doc_id, fp, text, punct, toks,
+         len(list_filter(toks, t -> t IN ({_EN}))) / greatest(len(toks), 1)::DOUBLE AS s_en,
+         len(list_filter(toks, t -> t IN ({_DE}))) / greatest(len(toks), 1)::DOUBLE AS s_de,
+         len(list_filter(toks, t -> t IN ({_FR}))) / greatest(len(toks), 1)::DOUBLE AS s_fr
+  FROM scored
+),
+m AS (
+  SELECT doc_id, fp, text,
+         CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'unk'
+              WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang,
+         0.4 * least(1.0, len(toks) / 100.0)
+       + 0.3 * (1.0 - least(1.0, punct * 4))
+       + 0.3 * greatest(0.0, least(1.0,
+            (list_sum(list_transform(toks, t -> length(t)))
+               / greatest(len(toks), 1)::DOUBLE - 2.0) / 6.0)) AS quality
+  FROM langed
+),
+s12 AS (SELECT doc_id, fp, text FROM m WHERE lang IN ('en') AND quality >= 0.5),
+fpc AS (SELECT fp, min(doc_id) AS fp_canon FROM s12 GROUP BY fp),
+s3 AS (
+  SELECT s12.doc_id, s12.text FROM s12 JOIN fpc USING (fp)
+  WHERE s12.doc_id = fpc.fp_canon
+),
+toks2 AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM s3
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+    FROM toks2, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE shared / (sa.n + sb.n - shared)::DOUBLE >= 0.1
+),
+sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u),
+dec AS (
+  SELECT m.doc_id, m.lang, round(m.quality, 6) AS quality,
+    CASE WHEN m.lang NOT IN ('en') THEN 'lang'
+         WHEN m.quality < 0.5 THEN 'quality'
+         WHEN fpc.fp_canon IS NOT NULL AND m.doc_id <> fpc.fp_canon THEN 'exact_dup'
+         WHEN c.component IS NOT NULL AND c.component <> m.doc_id THEN 'near_dup'
+         ELSE NULL END AS drop_reason
+  FROM m
+  LEFT JOIN fpc ON m.fp = fpc.fp
+  LEFT JOIN comp c ON c.node = m.doc_id
+)
+SELECT doc_id, lang, quality, drop_reason, (drop_reason IS NULL) AS keep FROM dec
 """,
     "ann_cosine_brute_force": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

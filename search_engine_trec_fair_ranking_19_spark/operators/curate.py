@@ -1,0 +1,116 @@
+"""Corpus curation: the end-to-end keep/drop pipeline a training-data run
+executes after raw ingestion — language filter, quality floor, exact
+dedup, near-dup cluster resolution — composed into ONE decision frame.
+
+Stage order (and therefore drop-reason precedence) is the cheap-first
+order a 100 TB pipeline wants: closed-form JVM expressions (lang_id,
+quality_score, fingerprint) prune the corpus before any pairwise work, so
+the near-dup stage — the only super-linear one — sees only survivors.
+Canonical selection at both dedup stages is deterministic (minimum
+surviving doc_id), so the curated corpus is reproducible across cluster
+sizes and retries.
+
+Everything except the connected-components fixpoint (dedup.py) is a
+single projection + one window over the fingerprint column; the near-dup
+pair restriction is two semi-joins. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text_analysis as ta
+from .dedup import connected_components, ngram_jaccard_pairs
+
+DEFAULT_LANGS = ("en",)
+
+
+def curation_decisions(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    langs: tuple[str, ...] = DEFAULT_LANGS,
+    min_quality: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """One row per input doc: (doc_id, lang, quality, drop_reason, keep).
+
+    ``drop_reason`` is the FIRST failing stage in pipeline order —
+    'lang' → 'quality' → 'exact_dup' → 'near_dup' — or null for kept docs;
+    ``keep`` = drop_reason is null. Dedup stages only consider docs that
+    survived every earlier stage: a near-dup cluster's canonical is the
+    minimum id among *survivors*, never a doc that was already dropped for
+    language or quality (keeping it would silently resurrect filtered
+    content as the cluster representative).
+
+    ``pairs`` optionally supplies precomputed near-dup candidate pairs
+    (a, b) — at 100 TB that is the MinHash-LSH pair set
+    (dedup.minhash_dedup_pairs); pairs touching non-survivors are
+    restricted away with two semi-joins. Default (None) computes exact
+    n-gram Jaccard pairs over the survivors, the right default at test
+    scale and the documented exact baseline otherwise."""
+    sid = F.col(id_col).cast("long")
+    base = df.select(
+        sid.alias("doc_id"),
+        ta.lang_id(F.col(text_col)).alias("lang"),
+        ta.quality_score(F.col(text_col)).alias("quality"),
+        ta.fingerprint(F.col(text_col)).alias("fp"),
+    )
+    base = base.withColumn("__pass_lang", F.col("lang").isin(*langs)).withColumn(
+        "__pass_q", F.col("quality") >= F.lit(float(min_quality))
+    )
+    surv12 = F.col("__pass_lang") & F.col("__pass_q")
+    # exact-dup canonical among stage-1/2 survivors: one window on fp
+    base = base.withColumn(
+        "__fp_canon",
+        F.min(F.when(surv12, F.col("doc_id"))).over(Window.partitionBy("fp")),
+    )
+    exact_loser = surv12 & (F.col("doc_id") != F.col("__fp_canon"))
+
+    surv3_ids = base.filter(surv12 & ~exact_loser).select("doc_id")
+    if pairs is None:
+        surv_docs = df.select(sid.alias("doc_id"), F.col(text_col).alias("text")).join(
+            surv3_ids, "doc_id", "left_semi"
+        )
+        pairs = ngram_jaccard_pairs(
+            surv_docs, n=shingle_n, threshold=near_dup_threshold
+        )
+    else:
+        pairs = (
+            pairs.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+            .join(surv3_ids.select(F.col("doc_id").alias("a")), "a", "left_semi")
+            .join(surv3_ids.select(F.col("doc_id").alias("b")), "b", "left_semi")
+        )
+    comp = connected_components(pairs, nodes=surv3_ids).select(
+        F.col("node"), F.col("component")
+    )
+
+    decided = base.join(comp, base["doc_id"] == comp["node"], "left")
+    near_loser = F.col("component").isNotNull() & (
+        F.col("component") != F.col("doc_id")
+    )
+    drop_reason = (
+        F.when(~F.col("__pass_lang"), F.lit("lang"))
+        .when(~F.col("__pass_q"), F.lit("quality"))
+        .when(exact_loser, F.lit("exact_dup"))
+        .when(near_loser, F.lit("near_dup"))
+    )
+    return decided.select(
+        "doc_id",
+        "lang",
+        "quality",
+        drop_reason.alias("drop_reason"),
+        drop_reason.isNull().alias("keep"),
+    )
+
+
+def curate_corpus(df: DataFrame, id_col: str = "doc_id", **kwargs) -> DataFrame:
+    """The curated corpus itself: every column of ``df``, rows where the
+    decision frame says keep. Semi-join shape — only ids shuffle."""
+    keep_ids = curation_decisions(df, id_col=id_col, **kwargs).filter(
+        F.col("keep")
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(keep_ids, id_col, "left_semi")

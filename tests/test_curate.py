@@ -1,0 +1,88 @@
+"""Corpus-curation pipeline tests: stage precedence, survivor-only
+canonicals, and the curated-corpus semi-join."""
+
+from pyspark.sql import functions as F
+
+from search_engine_trec_fair_ranking_19_spark.operators import curate
+
+# every text carries enough English marker words to pass lang_id('en');
+# the German one fails it. Docs meant to stay independent get DISTINCT pads
+# (a shared pad alone is >0.5 trigram-Jaccard and would cluster them).
+_EN_PAD = "the cat and the dog ran to the park and it was good for the day"
+_EN_PAD2 = "it is known that the results of this run hold with care for every trial"
+
+
+def _docs(spark):
+    rows = [
+        # 1/2: byte-identical after normalization -> exact dup, canonical 1
+        (1, _EN_PAD + " alpha beta gamma delta epsilon zeta"),
+        (2, _EN_PAD + "  Alpha beta GAMMA delta epsilon zeta"),
+        # 3: near dup of 1 (one word changed)
+        (3, _EN_PAD + " alpha beta gamma delta epsilon theta"),
+        # 4: German -> dropped for lang whatever else it matches
+        (4, "der hund und die katze ist nicht ein vogel mit der maus von zu"),
+        # 5: English but pure punctuation soup -> quality floor
+        (5, "the !!! ??? ... ;;; ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~"),
+        # 6: independent clean doc (own pad -> no shared trigrams with 1/3)
+        (6, _EN_PAD2 + " completely different content about spark shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _decisions(spark, **kw):
+    kw.setdefault("langs", ("en",))
+    kw.setdefault("min_quality", 0.3)
+    kw.setdefault("shingle_n", 3)
+    kw.setdefault("near_dup_threshold", 0.5)
+    return {
+        r["doc_id"]: r
+        for r in curate.curation_decisions(_docs(spark), **kw).collect()
+    }
+
+
+def test_stage_reasons_and_keep(spark):
+    d = _decisions(spark)
+    assert d[4]["drop_reason"] == "lang" and not d[4]["keep"]
+    assert d[5]["drop_reason"] == "quality" and not d[5]["keep"]
+    assert d[2]["drop_reason"] == "exact_dup"
+    assert d[3]["drop_reason"] == "near_dup"
+    assert d[1]["keep"] and d[1]["drop_reason"] is None
+    assert d[6]["keep"] and d[6]["drop_reason"] is None
+
+
+def test_nonsurvivor_pairs_never_drop_survivors(spark):
+    # supplied pair (2,6): doc 2 already fell to exact_dup, so it is not a
+    # survivor — the pair must be restricted away and 6 keeps; a dropped
+    # doc must never pull a surviving doc out of the corpus
+    pairs = spark.createDataFrame([(2, 6)], "a long, b long")
+    d = _decisions(spark, pairs=pairs)
+    assert d[2]["drop_reason"] == "exact_dup"
+    assert d[6]["keep"]
+
+
+def test_precedence_lang_before_near_dup(spark):
+    # doc 4 in a forced pair with 6: lang fires first, and because 4 is
+    # not a survivor the pair is restricted away -> 6 keeps
+    pairs = _docs(spark).sparkSession.createDataFrame(
+        [(4, 6)], "a long, b long"
+    )
+    d = _decisions(spark, pairs=pairs)
+    assert d[4]["drop_reason"] == "lang"
+    assert d[6]["keep"]
+
+
+def test_curate_corpus_rows(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in curate.curate_corpus(
+            _docs(spark),
+            langs=("en",),
+            min_quality=0.3,
+            shingle_n=3,
+            near_dup_threshold=0.5,
+        ).collect()
+    )
+    assert kept == [1, 6]
+    # curated frame keeps ALL original columns
+    cols = curate.curate_corpus(_docs(spark)).columns
+    assert cols == ["doc_id", "text"]
