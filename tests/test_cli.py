@@ -1,0 +1,121 @@
+"""End-to-end CLI surface tests: build → query → evaluate → curate.
+
+Drives the cmd_* handlers with parsed args and the shared test session
+(``main()`` owns and stops its own session, which would kill the fixture's)."""
+
+import json
+
+from search_engine_trec_fair_ranking_19_spark.__main__ import (
+    build_parser,
+    cmd_build,
+    cmd_curate,
+    cmd_evaluate,
+    cmd_query,
+)
+
+_PAD = "the cat and the dog ran to the park and it was good for the day"
+
+
+def _write_docs(spark, path):
+    rows = [
+        (1, _PAD + " alpha beta gamma delta epsilon zeta"),
+        (2, _PAD + " spark shuffle partition exchange stage task"),
+        (3, _PAD + " completely different content about query engines"),
+        (4, _PAD + " alpha beta gamma delta epsilon zeta"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _run(spark, capsys, argv):
+    args = build_parser().parse_args(argv)
+    rc = {
+        "build": cmd_build,
+        "query": cmd_query,
+        "evaluate": cmd_evaluate,
+        "curate": cmd_curate,
+    }[args.cmd](spark, args)
+    assert rc == 0
+    return capsys.readouterr().out.strip().splitlines()
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs.parquet")
+    index = str(tmp_path / "index")
+    _write_docs(spark, docs)
+
+    out = _run(spark, capsys, ["build", "--input", docs, "--index", index])
+    built = json.loads(out[-1])
+    assert built["n_docs"] == 4 and built["avgdl"] > 0
+
+    out = _run(
+        spark, capsys,
+        ["query", "--index", index, "spark shuffle partition", "--k", "5"],
+    )
+    # doc 2 is the only one containing the query terms -> rank 1
+    rank1 = out[0].split("\t")
+    assert rank1[0] == "1" and rank1[1] == "doc00000002"
+    assert float(rank1[2]) == 1.0  # max-normalized top score
+
+    judgments = tmp_path / "judgments.jsonl"
+    judgments.write_text(
+        json.dumps(
+            {
+                "qid": 1,
+                "query": "spark shuffle partition",
+                "documents": [
+                    {"doc_id": "doc00000002", "relevance": 1},
+                    {"doc_id": "doc00000003", "relevance": 0},
+                ],
+            }
+        )
+        + "\n"
+    )
+    out = _run(
+        spark, capsys,
+        ["evaluate", "--index", index, "--judgments", str(judgments)],
+    )
+    assert out[0].startswith("qid=1") and "AP=1.0" in out[0]
+    summary = json.loads(out[-1])
+    assert summary["n_queries"] == 1
+
+    curated = str(tmp_path / "curated")
+    out = _run(
+        spark, capsys,
+        [
+            # threshold 0.7: the shared pad alone puts distinct docs at
+            # ~0.54 trigram-Jaccard; only the exact dup (4) must drop
+            "curate", "--input", docs, "--out", curated,
+            "--min-quality", "0.3", "--near-dup-threshold", "0.7",
+        ],
+    )
+    res = json.loads(out[-1])
+    # docs 1/4 are exact dups -> one dropped; 4 in, 3 kept
+    assert res["in_rows"] == 4 and res["kept_rows"] == 3
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(curated).collect()
+    }
+    assert kept == {1, 2, 3}
+
+
+def test_cli_query_window_and_models(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs.parquet")
+    index = str(tmp_path / "index")
+    _write_docs(spark, docs)
+    _run(spark, capsys, ["build", "--input", docs, "--index", index])
+
+    # window slice: start=2 returns ranks 2..k with correct numbering
+    out = _run(
+        spark, capsys,
+        ["query", "--index", index, "the park", "--k", "4", "--start", "2", "--end", "3"],
+    )
+    assert [line.split("\t")[0] for line in out] == ["2", "3"]
+
+    for model in ("wand", "vsm", "existential"):
+        out = _run(
+            spark, capsys,
+            ["query", "--index", index, "spark shuffle partition", "--model", model],
+        )
+        assert any("doc00000002" in line for line in out)
