@@ -43,6 +43,9 @@ Stages timed:
                          (reference: 635 queries at 0.92-3.7 s/query)
   * dedup_minhash      — MinHash+LSH near-dup sweep
   * dedup_exact        — exact-hash duplicate groups
+  * curate_corpus      — composed curation pipeline (lang → quality →
+                         exact dedup → near-dup clusters over the
+                         MinHash-LSH pair set)
   * ann_brute_force    — exact cosine scan
   * text_quality_scan  — language-ID + quality scan
 """
@@ -76,7 +79,11 @@ from search_engine_trec_fair_ranking_19_spark.entry_queries import (
     load_embeddings,
 )
 from search_engine_trec_fair_ranking_19_spark.functions import text_analysis as ta
-from search_engine_trec_fair_ranking_19_spark.operators import dedup, similarity
+from search_engine_trec_fair_ranking_19_spark.operators import (
+    curate,
+    dedup,
+    similarity,
+)
 from search_engine_trec_fair_ranking_19_spark.operators import query as q
 from search_engine_trec_fair_ranking_19_spark.operators.evaluate import (
     evaluate_batch,
@@ -326,6 +333,26 @@ def main() -> None:
                     ta.quality_score(F.col("text")).alias("quality"),
                 )
                 .agg(F.count(F.lit(1)), F.avg("quality"))
+                .collect()
+            ),
+        )
+
+        # the composed curation pipeline (lang -> quality -> exact dedup ->
+        # near-dup clusters) with the MinHash-LSH pair set — the scale path
+        # a 100 TB corpus sweep runs
+        runner.run(
+            "curate_corpus",
+            lambda: _timed(
+                lambda: curate.curation_decisions(
+                    docs,
+                    pairs=dedup.minhash_dedup_pairs(
+                        docs, num_hashes=64, num_bands=16, threshold=0.5
+                    ),
+                    langs=("en",),
+                    min_quality=0.5,
+                )
+                .groupBy("drop_reason")
+                .count()
                 .collect()
             ),
         )
