@@ -178,21 +178,27 @@ def minhash_signatures(
     fully batched across docs via ``np.minimum.reduceat`` over the flat
     Arrow child array (the permutation family is
     h_i(x) = (a_i·x + b_i) mod 2^61−1), chunked so the (H × chunk)
-    intermediate stays ~32 MB regardless of batch shape."""
+    intermediate stays ~32 MB regardless of batch shape. Docs with zero
+    shingles (shorter than n tokens) are dropped in the kernel — they have
+    no MinHash."""
     return _signatures_from_hashed(
         _hashed_shingles(df, id_col, text_col, n), num_hashes, seed
     )
 
 
 def _signatures_from_hashed(
-    hs_df: DataFrame, num_hashes: int = 128, seed: int = 0x5EED
+    hs_df: DataFrame,
+    num_hashes: int = 128,
+    seed: int = 0x5EED,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """MinHash signatures from a (doc_id, hs array<long>) shingle-hash frame.
 
     Factored out of :func:`minhash_signatures` so the full dedup pipeline can
-    compute the shingle-hash frame ONCE and reuse it for verification."""
+    compute the shingle-hash frame ONCE and reuse it for verification.
+    ``keep_shingles`` passes the hs column through the same Arrow batch —
+    (doc_id, hs, sig) with NO join — for the persistable index artifact."""
     a, b = _minhash_params(num_hashes, seed)
-    empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
     chunk_shingles = max(1, (1 << 22) // num_hashes)  # H×chunk ≈ 32 MB u64
 
     def gen(batches):
@@ -230,7 +236,7 @@ def _signatures_from_hashed(
                 if len(seg):
                     hashed = (a[:, None] * seg[None, :] + b[:, None]) % _MERSENNE
                     # empty docs repeat / overrun the next cut — clip to stay
-                    # in bounds; their (garbage) rows are overwritten below
+                    # in bounds; their (garbage) rows are filtered out below
                     cuts = np.minimum(
                         (offsets[start_doc:end_doc] - lo).astype(np.intp),
                         len(seg) - 1,
@@ -239,30 +245,51 @@ def _signatures_from_hashed(
                         hashed, cuts, axis=1
                     ).T.astype(np.int64)
                 start_doc = end_doc
-            # reduceat misbehaves on empty slices → overwrite empties
-            sigs[lengths == 0] = empty_sig
             docid_arr = batch.column(batch.schema.get_field_index("doc_id"))
+            # docs with ZERO shingles (shorter than n tokens) are dropped
+            # HERE, below any Catalyst pushdown: a DataFrame-level
+            # filter(size(hs) > 0) gets pushed beneath the hs projection and
+            # re-evaluates the whole shingle-hash transform per row
+            # (measured 3-4x wall on the sf0.1 dedup bench). They cannot
+            # participate in MinHash anyway — and left in, their identical
+            # empty signatures collide in every LSH band and 0/0 in the
+            # exact-Jaccard verify.
+            if (lengths == 0).any():
+                mask = pa.array(lengths > 0)
+                docid_arr = docid_arr.filter(mask)
+                col = col.filter(mask)
+                sigs = sigs[lengths > 0]
+                n_docs = len(sigs)
+                if n_docs == 0:
+                    continue
             sig_off = np.arange(n_docs + 1, dtype=np.int32) * num_hashes
             sig_arr = pa.ListArray.from_arrays(
                 pa.array(sig_off), pa.array(sigs.reshape(-1))
             )
-            yield pa.RecordBatch.from_arrays(
-                [docid_arr, sig_arr], names=["doc_id", "sig"]
-            )
+            if keep_shingles:
+                yield pa.RecordBatch.from_arrays(
+                    [docid_arr, col, sig_arr], names=["doc_id", "hs", "sig"]
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [docid_arr, sig_arr], names=["doc_id", "sig"]
+                )
 
-    return _spread(hs_df).mapInArrow(gen, schema="doc_id long, sig array<long>")
+    schema = (
+        "doc_id long, hs array<long>, sig array<long>"
+        if keep_shingles
+        else "doc_id long, sig array<long>"
+    )
+    return _spread(hs_df).mapInArrow(gen, schema=schema)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, num_bands: int = 16
-) -> DataFrame:
-    """Band the signatures and self-join on (band, band-hash) → candidate pairs.
-
-    Rows per doc = num_bands (tiny); the join key is the hashed band slice, so
-    head buckets are data-identical docs — exactly what we want colliding."""
+def _banded(signatures: DataFrame, num_bands: int) -> DataFrame:
+    """(doc_id, band, bucket): num_bands rows per doc, bucket = hash of the
+    band's signature slice. The shared banding of the self-join (within one
+    corpus) and the between-join (new batch vs existing corpus) paths."""
     sig_len = F.size(F.col("sig"))
     r = (sig_len / num_bands).cast("int")
-    banded = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -274,6 +301,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_bands: int = 16
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash) → candidate pairs.
+
+    Rows per doc = num_bands (tiny); the join key is the hashed band slice, so
+    head buckets are data-identical docs — exactly what we want colliding."""
+    banded = _banded(signatures, num_bands)
     a = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (
@@ -304,11 +341,12 @@ def minhash_dedup_pairs(
     :func:`ngram_jaccard_pairs` modulo 64-bit hash collisions (pinned by
     tests/test_gate_approx.py). Verification cost scales with the candidate
     set, not the corpus: two joins keyed on the candidate pair ids."""
-    # sub-n-token docs have ZERO shingles: they can't be near-dups by this
-    # measure (the exact baseline emits no pairs for them) and their
-    # identical empty signatures would otherwise all collide in every band
-    # and 0/0 in the verify — drop them before signing
-    hs = _hashed_shingles(df, id_col, text_col, n).filter(F.size("hs") > 0)
+    # sub-n-token docs have ZERO shingles and are dropped INSIDE the
+    # signature kernel (cheap there; a filter(size(hs)>0) here gets pushed
+    # below the projection and re-evaluates the shingle transform — measured
+    # 3-4x wall at sf0.1). Their hs rows below never join: they can't be
+    # candidates without a signature.
+    hs = _hashed_shingles(df, id_col, text_col, n)
     sigs = _signatures_from_hashed(hs, num_hashes)
     candidates = lsh_candidate_pairs(sigs, num_bands).persist()
     candidates.count()  # materialize once; small
@@ -338,6 +376,100 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """(doc_id, hs, sig) — the PERSISTABLE near-dup index artifact.
+
+    The 100 TB shape for dedup is incremental: the standing corpus's
+    shingle-hash sets and MinHash signatures are computed once, written as a
+    table, and every new crawl batch is checked AGAINST them
+    (:func:`minhash_pairs_between`) instead of re-pairing the whole corpus.
+    hs and sig come out of ONE Arrow pass (``keep_shingles``) — no join.
+    Docs with zero shingles (shorter than n tokens) are excluded (in the
+    signature kernel), matching :func:`minhash_dedup_pairs`. Both sides of a
+    between-join must be built with the same (n, num_hashes, seed)."""
+    hs = _hashed_shingles(df, id_col, text_col, n)
+    return _signatures_from_hashed(hs, num_hashes, seed, keep_shingles=True)
+
+
+def minhash_pairs_between(
+    new_index: DataFrame,
+    corpus_index: DataFrame,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard): near-dup pairs of a NEW batch against an
+    EXISTING corpus, both as :func:`minhash_index` frames.
+
+    Same LSH family as the self-join path (shared banding), but the
+    band-bucket join is new×corpus instead of corpus×corpus: candidate
+    generation costs O(|new| · bands) probe rows against the corpus's banded
+    table — at scale that table is precomputed and bucketed on
+    (band, bucket), so a daily batch joins without reshuffling the corpus.
+    No a<b dedup (the sides are distinct namespaces); a doc present in BOTH
+    frames under the same id pairs with itself at jaccard 1, which is the
+    honest answer for a re-crawl. Verification is pair-local exact Jaccard
+    over the stored shingle sets, identical to :func:`minhash_dedup_pairs`."""
+    na = _banded(new_index.select("doc_id", "sig"), num_bands).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    cb = _banded(corpus_index.select("doc_id", "sig"), num_bands).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bucket"
+    )
+    candidates = na.join(cb, ["band", "bucket"]).select(
+        "new_id", "corpus_id"
+    ).distinct().persist()
+    candidates.count()  # materialize once; small (LSH's whole point)
+    a_hs = new_index.select(
+        F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_a")
+    )
+    b_hs = corpus_index.select(
+        F.col("doc_id").alias("corpus_id"), F.col("hs").alias("hs_b")
+    )
+    return (
+        candidates.join(a_hs, "new_id")
+        .join(b_hs, "corpus_id")
+        .withColumn("shared", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def drop_near_duplicates_against(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """The incremental-curation primitive: rows of ``new_df`` that are NOT a
+    near-dup of anything already in the corpus. One anti-join on the pair
+    set; the corpus is only ever touched through its persisted index."""
+    new_index = minhash_index(new_df, id_col, text_col, n, num_hashes, seed)
+    pairs = minhash_pairs_between(new_index, corpus_index, num_bands, threshold)
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(dup_ids, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -157,3 +157,80 @@ def test_short_docs_yield_empty_shingles(spark):
         ).count()
         == 0
     )
+
+
+def test_minhash_index_matches_component_functions(spark):
+    # the one-pass (doc_id, hs, sig) artifact equals hs+sig computed apart
+    idx = {
+        r["doc_id"]: r
+        for r in dedup.minhash_index(_docs_df(spark), num_hashes=32).collect()
+    }
+    hs = {
+        r["doc_id"]: r["hs"]
+        for r in dedup._hashed_shingles(_docs_df(spark), "doc_id", "text", 3)
+        .collect()
+    }
+    sig = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.minhash_signatures(_docs_df(spark), num_hashes=32)
+        .collect()
+    }
+    assert set(idx) == set(hs) == set(sig) == {1, 2, 3, 4, 5, 6}
+    for d in idx:
+        assert sorted(idx[d]["hs"]) == sorted(hs[d])
+        assert idx[d]["sig"] == sig[d]
+
+
+def test_minhash_pairs_between_incremental(spark):
+    # corpus = docs 1..4; new batch = 7 (near-dup of 1), 8 (unique),
+    # 1 (re-crawl of itself — must pair at jaccard 1.0)
+    corpus = dedup.minhash_index(_docs_df(spark), num_hashes=64)
+    new = spark.createDataFrame(
+        [
+            (7, "the quick brown fox jumps over the lazy dog again and again today"),
+            (8, "entirely novel content with no overlap whatsoever in any shingle"),
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+        ],
+        "doc_id long, text string",
+    )
+    new_idx = dedup.minhash_index(new, num_hashes=64)
+    pairs = dedup.minhash_pairs_between(
+        new_idx, corpus, num_bands=32, threshold=0.5
+    ).collect()
+    got = {(r["new_id"], r["corpus_id"]): r["jaccard"] for r in pairs}
+    # 1 is a re-crawl: exact match with corpus docs 1, 2 and normalized 5
+    assert got[(1, 1)] == 1.0 and got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0
+    # 7 near-dups the 1/2/5 cluster (one appended word)
+    assert all((7, c) in got for c in (1, 2, 5))
+    assert all(0.5 <= got[(7, c)] < 1.0 for c in (1, 2, 5))
+    # 8 pairs with nothing
+    assert not any(nid == 8 for nid, _ in got)
+    # parity with the exact between-set: no pair the brute-force union-join
+    # finds at >= 0.5 is missing (recall 1 in this regime), none extra
+    both = _docs_df(spark).unionByName(new.filter("doc_id >= 7"))
+    exact = dedup.ngram_jaccard_pairs(both, n=3, threshold=0.5).collect()
+    exact_between = {
+        (max(r["a"], r["b"]), min(r["a"], r["b"])): round(r["jaccard"], 9)
+        for r in exact
+        if (r["a"] >= 7) != (r["b"] >= 7)
+    }
+    got_between = {
+        (n, c): round(j, 9) for (n, c), j in got.items() if n >= 7
+    }
+    assert got_between == exact_between
+
+
+def test_drop_near_duplicates_against(spark):
+    corpus = dedup.minhash_index(_docs_df(spark), num_hashes=64)
+    new = spark.createDataFrame(
+        [
+            (7, "the quick brown fox jumps over the lazy dog again and again today"),
+            (8, "entirely novel content with no overlap whatsoever in any shingle"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup.drop_near_duplicates_against(
+        new, corpus, num_hashes=64, num_bands=32, threshold=0.5
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [8]
+    assert len(kept[0].asDict()) == 2  # original columns preserved
