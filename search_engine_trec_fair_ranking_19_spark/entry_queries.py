@@ -618,6 +618,20 @@ def q_fingerprints(spark, sf_dir):
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_deterministic_split(spark, sf_dir):
+    """Reproducible train/val/test assignment: split = a pure function of
+    md5(doc_id), identical across engines, cluster sizes, partitionings,
+    and reruns — the property that keeps eval data out of training data
+    for the life of a corpus. The oracle recomputes the md5 bucket and
+    boundaries independently in DuckDB."""
+    from .functions import sampling
+
+    docs = load_documents(spark, sf_dir)
+    return sampling.deterministic_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def q_char_histogram(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return (
@@ -699,6 +713,28 @@ def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_dedup_pairs(
         docs, n=2, num_hashes=64, num_bands=32, threshold=0.5
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_incremental_pairs(spark, sf_dir):
+    """Incremental dedup — a 'new batch' (odd doc_ids) checked against an
+    existing 'corpus' (even doc_ids) through the persistable minhash_index
+    artifact and a new×corpus band join; never a corpus self-join. Same
+    provable-recall regime as minhash_lsh_pairs (threshold 0.5, 32-band/
+    2-row: miss prob < 1e-4, recall exactly 1 on this fixed data+seed), so
+    the output EQUALS the exact cross-set bigram-Jaccard pair set the
+    oracle computes."""
+    docs = load_documents(spark, sf_dir)
+    corpus = dedup.minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 0), n=2, num_hashes=64
+    )
+    new = dedup.minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), n=2, num_hashes=64
+    )
+    return dedup.minhash_pairs_between(
+        new, corpus, num_bands=32, threshold=0.5
+    ).select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def _md5_60bit(t):
@@ -874,12 +910,14 @@ QUERIES = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
+    "deterministic_split": q_deterministic_split,
     "char_histogram": q_char_histogram,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "curation_decisions": q_curation_decisions,
     "minhash_lsh_pairs": q_minhash_pairs,
+    "minhash_incremental_pairs": q_minhash_incremental_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_brute_force": q_ann_brute_force,
     "embedding_norms": q_embedding_norms,
@@ -1040,6 +1078,17 @@ FROM m
     "fingerprints": r"""
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
 FROM documents
+""",
+    "deterministic_split": """
+SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000 AS b
+  FROM documents
+)
 """,
     "char_histogram": """
 SELECT ch, count(*) AS n
@@ -1435,6 +1484,34 @@ SELECT a, b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
+WHERE shared / (sa.n + sb.n - shared)::DOUBLE >= 0.5
+""",
+    # exact cross-set twin of the incremental path: bigram Jaccard between
+    # odd (new batch) and even (standing corpus) docs at threshold 0.5,
+    # where the 32-band/2-row LSH family has recall 1 on this data+seed
+    "minhash_incremental_pairs": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS new_id, y.doc_id AS corpus_id, count(*) AS shared
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT new_id, corpus_id,
+       round(shared / (sa.n + sb.n - shared)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = corpus_id
 WHERE shared / (sa.n + sb.n - shared)::DOUBLE >= 0.5
 """,
     # full SQL twin of the md5-token-hash simhash pipeline: identical 60-bit

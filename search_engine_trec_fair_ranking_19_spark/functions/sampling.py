@@ -1,0 +1,95 @@
+"""Deterministic, engine-independent sampling and dataset splits.
+
+Training-data pipelines need REPRODUCIBLE corpus subsets: the train/val/test
+assignment of a document must not change when the cluster size, partition
+layout, Spark version, or run date changes, and an independent system (the
+labeling pipeline, the eval harness, a DuckDB audit query) must be able to
+re-derive it. ``rand(seed)`` fails all of that — it is seeded per-partition,
+so any repartition reshuffles the sample. Hashing the document KEY fails
+none of it.
+
+The bucket function is the first 8 hex chars of md5(key-as-string) read as
+an integer, mod ``n_buckets`` — chosen over xxhash64/crc32 because md5 is
+bit-identical in every engine this repo touches (Spark `md5`, DuckDB `md5`,
+Python `hashlib`), which makes every operator here fully oracle-checkable.
+md5 speed is irrelevant at one hash per ROW (the tokenizer hashes per
+token); the scan stays whole-stage-codegen JVM expressions with zero
+shuffles — sampling 100 TB is a map-only job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, n_buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from md5 of the key.
+
+    DuckDB twin: ``('0x' || substr(md5(key::VARCHAR), 1, 8))::UBIGINT %
+    n_buckets``. 8 hex chars = 32 uniform bits; modulo bias is < 2.4e-4 for
+    the default million buckets and irrelevant for sampling."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows by key hash.
+
+    Unlike ``df.sample``, membership is a pure function of the key: stable
+    under repartition, resumable across runs, and consistent across tables
+    sharing the key (sampling documents and their embeddings with the same
+    rate+key selects the SAME entities — how you subsample a joined corpus
+    without a join)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(round(rate * DEFAULT_BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col)) < cut)
+
+
+def split_column(
+    key: Column, weights: dict[str, float], n_buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """Split-name column from cumulative bucket thresholds over the key hash.
+
+    Weights are normalized; boundaries are rounded half-up in cumulative
+    space so they sum exactly to ``n_buckets`` and every bucket maps to
+    exactly one split (no gaps, no overlaps). Split order follows dict
+    order, so the same dict reproduces the same assignment forever."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = hash_bucket(key, n_buckets)
+    names = list(weights)
+    cuts, acc = [], 0.0
+    for name in names:
+        acc += weights[name] / total
+        cuts.append(min(n_buckets, int(round(acc * n_buckets))))
+    cuts[-1] = n_buckets
+    # chained WHEN: first matching (lowest) boundary wins
+    expr = None
+    for name, cut in zip(names, cuts):
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
+def deterministic_split(
+    df: DataFrame, weights: dict[str, float], key_col: str = "doc_id"
+) -> DataFrame:
+    """``df`` plus a ``split`` column ('train'/'val'/... per ``weights``).
+
+    The assignment is a pure function of the key and the weights dict: the
+    val set stays the val set across reruns, engines, and cluster sizes —
+    the property that keeps eval data out of training data for the life of
+    a corpus."""
+    return df.withColumn("split", split_column(F.col(key_col), weights))

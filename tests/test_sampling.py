@@ -1,0 +1,100 @@
+"""Deterministic sampling/split tests: stability under repartition, key
+consistency across tables, boundary exactness, md5 cross-engine parity."""
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_trec_fair_ranking_19_spark.functions import sampling
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_bucket_matches_python_and_duckdb(spark):
+    got = {
+        r["doc_id"]: r["b"]
+        for r in _ids(spark, 50)
+        .select("doc_id", sampling.hash_bucket(F.col("doc_id")).alias("b"))
+        .collect()
+    }
+    for i in range(50):
+        py = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+        assert got[i] == py
+    con = duckdb.connect()
+    duck = con.sql(
+        "SELECT i, ('0x' || substr(md5(i::VARCHAR), 1, 8))::UBIGINT % 1000000"
+        " FROM range(50) t(i)"
+    ).fetchall()
+    assert all(got[i] == b for i, b in duck)
+
+
+def test_sample_stable_under_repartition(spark):
+    df = _ids(spark)
+    s1 = {r["doc_id"] for r in sampling.deterministic_sample(df, 0.25).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(df.repartition(17), 0.25).collect()
+    }
+    assert s1 == s2
+    assert 0.2 < len(s1) / 2000 < 0.3
+
+
+def test_sample_consistent_across_tables(spark):
+    # same key + rate selects the same ENTITIES from different tables
+    docs = _ids(spark).withColumn("text", F.lit("x"))
+    embs = _ids(spark).withColumn("vec", F.lit(1.0))
+    a = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.1).collect()}
+    b = {r["doc_id"] for r in sampling.deterministic_sample(embs, 0.1).collect()}
+    assert a == b
+
+
+def test_sample_rate_edges(spark):
+    df = _ids(spark, 100)
+    assert sampling.deterministic_sample(df, 0.0).count() == 0
+    assert sampling.deterministic_sample(df, 1.0).count() == 100
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(df, 1.5)
+
+
+def test_split_partitions_exactly(spark):
+    df = _ids(spark)
+    out = sampling.deterministic_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000  # no gaps, no overlaps
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # weights normalize: 8/1/1 == 0.8/0.1/0.1
+    out2 = sampling.deterministic_split(df, {"train": 8, "val": 1, "test": 1})
+    assert out.select("doc_id", "split").exceptAll(
+        out2.select("doc_id", "split")
+    ).count() == 0
+
+
+def test_split_stable_and_disjoint_from_sample(spark):
+    # membership is a pure function of the key: recomputing yields bytes-
+    # identical assignment, and the val/test sets never drift into train
+    df = _ids(spark, 500)
+    w = {"train": 0.9, "val": 0.1}
+    one = dict(
+        (r["doc_id"], r["split"])
+        for r in sampling.deterministic_split(df, w).collect()
+    )
+    two = dict(
+        (r["doc_id"], r["split"])
+        for r in sampling.deterministic_split(df.repartition(7), w).collect()
+    )
+    assert one == two
+
+
+def test_split_rejects_bad_weights(spark):
+    df = _ids(spark, 10)
+    with pytest.raises(ValueError):
+        sampling.deterministic_split(df, {})
+    with pytest.raises(ValueError):
+        sampling.deterministic_split(df, {"a": 0.0})
