@@ -621,12 +621,49 @@ def simhash_near_dup_pairs(
 # duplicate-cluster resolution (connected components + canonical selection)
 # ---------------------------------------------------------------------------
 
+# near-dup pair graphs are tiny relative to the corpus (LSH emits pairs,
+# not docs); below this many edges the components fixpoint runs as a driver
+# union-find — one Spark job to fetch the edges instead of ~6 rounds × 3
+# jobs of distributed fixpoint whose per-round scheduling overhead dwarfs
+# the work. ~32 MB of driver memory at the bound.
+DRIVER_CC_BUDGET_EDGES = 1_000_000
+
+
+def _driver_components(edges: list) -> dict[int, int]:
+    """Union-find with min-root attachment: root of every set is its minimum
+    member (both roots are their sets' minima, so min(ru, rv) stays the
+    minimum of the union), giving the same min-reachable-label semantics as
+    the distributed fixpoint. Path compression keeps it near-linear."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen = set()
+    for u, v in edges:
+        seen.add(u)
+        seen.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return {n: find(n) for n in seen}
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 50,
+    driver_budget_edges: int = DRIVER_CC_BUDGET_EDGES,
 ) -> DataFrame:
     """Connected components over an undirected pair set: (node, component).
 
@@ -635,7 +672,18 @@ def connected_components(
     ``nodes`` optionally supplies the full universe (isolated nodes become
     singleton components); default universe = nodes appearing in ``pairs``.
 
-    Algorithm: iterated min-label propagation WITH pointer jumping —
+    Two physical strategies behind one contract:
+
+    * **≤ driver_budget_edges** (checked with one ``limit(budget+1)`` job —
+      never a full count): the edge list is collected and resolved with a
+      driver union-find, then broadcast-joined back onto the universe. The
+      UNIVERSE is never collected — only edges, which LSH keeps small even
+      when the corpus is 100 TB. Set ``driver_budget_edges=0`` to force the
+      distributed path.
+    * **above budget**: the distributed log-round fixpoint below.
+
+    Algorithm (distributed path): iterated min-label propagation WITH
+    pointer jumping —
     each round sets ``label(u) = min(label(u), min over neighbors v of
     label(v))`` and then compresses ``label(u) = label(label(u))``. The
     pointer-jumping step is what turns the O(diameter) naive propagation
@@ -651,10 +699,27 @@ def connected_components(
     At 100 TB the per-round cost is bounded by |E| + |V| shuffle rows with
     AQE handling skewed mega-clusters; near-dup graphs converge in 2-4
     rounds because dup clusters are low-diameter."""
-    sym = pairs.select(
+    raw = pairs.select(
         F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
     )
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if driver_budget_edges:
+        head = raw.limit(driver_budget_edges + 1).collect()
+        if len(head) <= driver_budget_edges:
+            spark = pairs.sparkSession
+            mapping = _driver_components([(r["u"], r["v"]) for r in head])
+            comp = spark.createDataFrame(
+                list(mapping.items()) or [], "node long, component long"
+            )
+            if nodes is None:
+                return comp
+            universe = nodes.select(
+                F.col(nodes.columns[0]).cast("long").alias("node")
+            )
+            return universe.join(F.broadcast(comp), "node", "left").select(
+                "node", F.coalesce("component", "node").alias("component")
+            )
+
+    sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = sym.distinct().localCheckpoint()
 
     labels = edges.select("u").distinct().select(

@@ -104,14 +104,49 @@ def test_connected_components_chain_and_isolates(spark):
 
 def test_connected_components_long_path_converges_logarithmically(spark):
     # a 64-node path is the adversarial diameter case; pointer jumping must
-    # close it well under the 50-iteration cap (naive propagation needs 63)
+    # close it well under the 50-iteration cap (naive propagation needs 63).
+    # driver_budget_edges=0 forces the DISTRIBUTED fixpoint
     n = 64
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a long, b long"
     )
-    got = dedup.connected_components(pairs, max_iters=14).collect()
+    got = dedup.connected_components(
+        pairs, max_iters=14, driver_budget_edges=0
+    ).collect()
     assert {r["component"] for r in got} == {0}
     assert len(got) == n
+
+
+def test_connected_components_driver_matches_distributed(spark):
+    # the sub-budget driver union-find and the distributed fixpoint are the
+    # SAME contract: identical (node, component) on a multi-cluster graph
+    # with isolates, and the budget boundary routes correctly
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 42), (42, 40)],
+        "a long, b long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (3, 5, 9, 20, 21, 40, 41, 42, 99)], "id long"
+    )
+    fast = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(pairs, nodes=nodes).collect()
+    }
+    slow = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            pairs, nodes=nodes, driver_budget_edges=0
+        ).collect()
+    }
+    assert fast == slow == {
+        3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40, 99: 99
+    }
+    # budget of exactly |edges| takes the driver path; |edges|-1 must not
+    over = dedup.connected_components(pairs, driver_budget_edges=6).collect()
+    under = dedup.connected_components(pairs, driver_budget_edges=5).collect()
+    assert {(r["node"], r["component"]) for r in over} == {
+        (r["node"], r["component"]) for r in under
+    }
 
 
 def test_dedup_clusters_and_drop(spark):

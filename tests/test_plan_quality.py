@@ -87,3 +87,41 @@ def test_postings_scan_prunes_to_term_filter(spark, tables):
     assert decode_pos != -1 and plan.find("Filter", decode_pos) != -1 or (
         "InMemoryTableScan" in plan
     ), plan
+
+
+def test_deterministic_split_is_map_only_and_pruned(spark, tmp_path):
+    """deterministic_split: zero exchanges (sampling 100 TB is a map-only
+    job) and the (doc_id, split) projection prunes the parquet scan to the
+    key column alone."""
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.functions import sampling
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    ).write.parquet(p)
+    out = sampling.deterministic_split(
+        spark.read.parquet(p), {"train": 0.9, "val": 0.1}
+    ).select("doc_id", "split")
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_minhash_signature_transform_not_duplicated(spark):
+    """The shingle-hash transform must appear exactly twice in the optimized
+    signature plan (token hash + shingle hash): a filter above the hs
+    projection gets pushed below it and re-evaluates the transform per row
+    — the 3-4x sf0.1 regression this pin guards against."""
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.operators import dedup
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e f").alias("text")
+    )
+    hs = dedup._hashed_shingles(docs, "doc_id", "text", 3)
+    sigs = dedup._signatures_from_hashed(hs, 16)
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") == 2
