@@ -632,6 +632,40 @@ def q_deterministic_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: each stratum keeps a different
+    md5-bucket cut of its keys. The stratum here is a synthetic language
+    label (doc_id mod 3) so the oracle can re-derive it; in production it
+    is any categorical column (lang_id output, domain, source). Membership
+    is a pure function of (key, stratum rates): the oracle recomputes both
+    the label and the bucket independently in DuckDB."""
+    from .functions import sampling
+
+    m = F.col("doc_id") % 3
+    docs = load_documents(spark, sf_dir).withColumn(
+        "lang",
+        F.when(m == 0, "en").when(m == 1, "de").otherwise("fr"),
+    )
+    return sampling.stratified_sample(
+        docs, {"en": 0.5, "de": 0.1, "fr": 0.02}, stratum_col="lang"
+    ).select("doc_id", "lang")
+
+
+def q_take_token_budget(spark, sf_dir):
+    """Deterministic token-budget prefix: rows filling a 10k-token budget
+    in (md5-bucket, key) order. The operator's two-phase plan (per-bucket
+    histogram -> driver boundary -> map-only filter + one-bucket window)
+    is equivalent to a global cumulative sum over that order, which is
+    what the DuckDB oracle computes directly — the small-scale oracle can
+    afford the global window the operator exists to avoid."""
+    from .functions import sampling
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", ta.token_count_ws(F.col("text")).alias("tokens")
+    )
+    return sampling.take_token_budget(docs, 10_000, "tokens", n_buckets=64)
+
+
 def q_char_histogram(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return (
@@ -911,6 +945,8 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "deterministic_split": q_deterministic_split,
+    "stratified_sample": q_stratified_sample,
+    "take_token_budget": q_take_token_budget,
     "char_histogram": q_char_histogram,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1089,6 +1125,31 @@ FROM (
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000 AS b
   FROM documents
 )
+""",
+    "stratified_sample": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000 AS b
+  FROM documents
+)
+WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000 ELSE 20000 END
+""",
+    "take_token_budget": r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 64 AS b
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, tokens, b,
+         sum(tokens) OVER (ORDER BY b, doc_id) AS c
+  FROM t
+)
+SELECT doc_id, tokens FROM cum
+WHERE c <= 10000
+  AND b <= coalesce((SELECT min(b) FROM cum WHERE c > 10000), 64)
 """,
     "char_histogram": """
 SELECT ch, count(*) AS n

@@ -93,3 +93,96 @@ def deterministic_split(
     the property that keeps eval data out of training data for the life of
     a corpus."""
     return df.withColumn("split", split_column(F.col(key_col), weights))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ~rates[stratum] of each
+    stratum's rows by key hash (strata not in ``rates`` keep
+    ``default_rate``).
+
+    The training-mix primitive: up-weight scarce languages/domains and
+    down-weight head ones with REPRODUCIBLE membership — same key, same
+    rates, same subset, on any engine at any cluster size. Map-only: the
+    rate lookup is a literal CASE over the stratum column, the membership
+    test one hash compare; no shuffle, no join."""
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = hash_bucket(F.col(key_col))
+    cut = F.lit(int(round(default_rate * DEFAULT_BUCKETS)))
+    for name, rate in rates.items():
+        cut = F.when(
+            F.col(stratum_col) == name,
+            F.lit(int(round(rate * DEFAULT_BUCKETS))),
+        ).otherwise(cut)
+    return df.filter(bucket < cut)
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    key_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Select a deterministic subset of rows whose ``token_col`` sums to at
+    most ``budget``, filling in hash-of-key order — "give me the first
+    1T tokens of this corpus", reproducibly.
+
+    A naive global cumulative sum is a single-partition window — the one
+    plan shape that cannot scale. This runs TWO passes, both shuffle-light:
+
+    1. aggregate tokens per md5 bucket (one shuffle to ≤ n_buckets rows),
+       collect the per-bucket histogram (bounded: n_buckets rows, not
+       corpus rows) and find on the driver the boundary bucket B where the
+       cumulative sum crosses the budget;
+    2. keep every row with bucket < B (a map-only filter), plus a strict
+       key-ordered prefix of bucket B itself up to the remainder — an
+       ORDER BY over ONE bucket (~corpus/n_buckets rows), not the corpus.
+
+    The subset is a pure function of (keys, token counts, budget,
+    n_buckets): stable across engines, partitionings, and cluster sizes.
+    Rows never split, and the kept set is a strict prefix of the
+    (bucket, key) order — two engines can never disagree about
+    membership."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    bucket = hash_bucket(F.col(key_col), n_buckets).alias("__bucket")
+    hist = (
+        df.select(bucket, F.col(token_col).alias("__t"))
+        .groupBy("__bucket")
+        .agg(F.sum("__t").alias("__tokens"))
+        .orderBy("__bucket")
+        .collect()
+    )
+    acc = 0
+    boundary = None  # first bucket NOT fully included
+    for r in hist:
+        if acc + r["__tokens"] > budget:
+            boundary = int(r["__bucket"])
+            break
+        acc += int(r["__tokens"])
+    if boundary is None:
+        return df  # whole corpus fits
+    whole = df.filter(hash_bucket(F.col(key_col), n_buckets) < boundary)
+    # partial bucket: cumulative sum in key order WITHIN the one bucket —
+    # a window over ~|corpus|/n_buckets rows, not a global sort
+    remainder = budget - acc
+    from pyspark.sql import Window
+
+    w = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, 0)
+    part = (
+        df.filter(hash_bucket(F.col(key_col), n_buckets) == boundary)
+        .withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") <= remainder)
+        .drop("__cum")
+    )
+    return whole.unionByName(part)

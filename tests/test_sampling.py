@@ -98,3 +98,62 @@ def test_split_rejects_bad_weights(spark):
         sampling.deterministic_split(df, {})
     with pytest.raises(ValueError):
         sampling.deterministic_split(df, {"a": 0.0})
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = _ids(spark, 3000).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de")
+    )
+    out = sampling.stratified_sample(
+        df, {"en": 0.5, "de": 0.1}, stratum_col="lang"
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.4 < counts["en"] / 1000 < 0.6
+    assert 0.05 < counts["de"] / 2000 < 0.15
+    # strata absent from rates: default_rate (0 -> dropped entirely)
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert sampling.stratified_sample(df2, {"en": 0.5}, "lang").count() == 0
+    assert (
+        sampling.stratified_sample(df2, {"en": 0.5}, "lang", default_rate=1.0)
+        .count()
+        == 3000
+    )
+    # same key+rate == plain deterministic_sample of that stratum
+    en_ids = {r["doc_id"] for r in out.filter("lang = 'en'").collect()}
+    plain = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            df.filter("lang = 'en'"), 0.5
+        ).collect()
+    }
+    assert en_ids == plain
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, {"en": 2.0}, "lang")
+
+
+def test_take_token_budget_prefix_semantics(spark):
+    df = _ids(spark, 400).withColumn("tokens", F.col("doc_id") % 50 + 1)
+    total = df.agg(F.sum("tokens")).head()[0]
+    out = sampling.take_token_budget(df, int(total // 3), "tokens", n_buckets=32)
+    got = out.agg(F.sum("tokens")).head()[0]
+    assert got <= total // 3
+    # budget is filled nearly tight (partial-bucket prefix): within one
+    # bucket's worth of slack
+    per_bucket = total / 32
+    assert got > total // 3 - per_bucket - 50
+    # membership is a strict prefix of (bucket, key) order: recomputing on
+    # a repartitioned frame yields the identical set
+    again = sampling.take_token_budget(
+        df.repartition(13), int(total // 3), "tokens", n_buckets=32
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    # whole corpus fits -> identity; zero budget -> empty
+    assert sampling.take_token_budget(df, int(total), "tokens", n_buckets=32).count() == 400
+    assert sampling.take_token_budget(df, 0, "tokens", n_buckets=32).count() == 0
+    with pytest.raises(ValueError):
+        sampling.take_token_budget(df, -1, "tokens")
