@@ -711,6 +711,23 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(docs, pairs)
 
 
+def q_domain_cap(spark, sf_dir):
+    """Domain-diversity cap: at most 10 docs per source, best quality
+    first, doc_id tie-break. Ordering is on the ROUNDED (6dp) quality so
+    near-ties resolve through doc_id identically in Spark and DuckDB
+    (1-ulp float noise cannot flip the rank). The oracle is a plain
+    row_number window; the Spark plan is WindowGroupLimit — per-partition
+    top-n per group BEFORE the exchange (plan-pinned)."""
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.round(ta.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return curate.cap_per_group(
+        docs, group_col="source", n=10, order_col="quality"
+    )
+
+
 def q_curation_decisions(spark, sf_dir):
     """The full corpus-curation pipeline as one decision frame: language
     filter → quality floor → exact dedup → near-dup clusters, drop reason
@@ -951,6 +968,7 @@ QUERIES = {
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "domain_cap": q_domain_cap,
     "curation_decisions": q_curation_decisions,
     "minhash_lsh_pairs": q_minhash_pairs,
     "minhash_incremental_pairs": q_minhash_incremental_pairs,
@@ -1227,6 +1245,32 @@ SELECT doc_id, component,
        count(*) OVER (PARTITION BY component) AS cluster_size,
        (doc_id = component) AS is_canonical
 FROM labeled
+""",
+    "domain_cap": r"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           / greatest(length(text), 1)::DOUBLE AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, punct, len(toks) AS n_words,
+         list_sum(list_transform(toks, t -> length(t)))
+           / greatest(len(toks), 1)::DOUBLE AS mwl
+  FROM base
+),
+q AS (
+  SELECT doc_id, source,
+         round(0.4 * least(1.0, n_words / 100.0)
+             + 0.3 * (1.0 - least(1.0, punct * 4))
+             + 0.3 * greatest(0.0, least(1.0, (mwl - 2.0) / 6.0)), 6) AS quality
+  FROM m
+)
+SELECT doc_id, source, quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+  FROM q
+) WHERE rk <= 10
 """,
     "curation_decisions": rf"""
 WITH RECURSIVE scored AS (

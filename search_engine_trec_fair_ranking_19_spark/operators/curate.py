@@ -107,6 +107,42 @@ def curation_decisions(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-``order_col``-first with a
+    deterministic ``id_col`` tie-break — the domain-diversity cap ("at most
+    N pages per host", "N docs per source") every web-corpus mix applies so
+    head domains cannot dominate the training set.
+
+    Selection is a pure function of the data: ordering is
+    (order_col, id_col), so two engines and two cluster sizes keep the
+    identical rows. Order on a ROUNDED score if the score is a recomputed
+    float — then near-ties resolve through the id on every engine instead
+    of through 1-ulp noise.
+
+    Scale shape: ``row_number() <= n`` over a partitioned window is
+    rewritten by Spark into WindowGroupLimit — each input partition keeps
+    only its local top-n per group BEFORE the exchange, so a 100M-page
+    host ships n rows per upstream partition, not 100M, and the post-
+    shuffle sort is over the pruned remainder (plan-pinned in
+    test_plan_quality). One shuffle on the group key, no joins."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
 def curate_corpus(df: DataFrame, id_col: str = "doc_id", **kwargs) -> DataFrame:
     """The curated corpus itself: every column of ``df``, rows where the
     decision frame says keep. Semi-join shape — only ids shuffle."""

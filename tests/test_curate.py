@@ -86,3 +86,45 @@ def test_curate_corpus_rows(spark):
     # curated frame keeps ALL original columns
     cols = curate.curate_corpus(_docs(spark)).columns
     assert cols == ["doc_id", "text"]
+
+
+def test_cap_per_group_selection_and_determinism(spark):
+    rows = [(i, f"g{i % 3}", float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    out = curate.cap_per_group(df, "grp", 5, "score").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append((r["score"], r["doc_id"]))
+    assert all(len(v) == 5 for v in by_grp.values())
+    # per group: the 5 best scores, ties broken by LOWEST doc_id
+    for g, kept in by_grp.items():
+        pool = sorted(
+            ((s, i) for i, gg, s in rows if gg == g),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert sorted(kept, key=lambda t: (-t[0], t[1])) == pool
+    # stable under repartition: identical membership
+    again = curate.cap_per_group(df.repartition(7), "grp", 5, "score").collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in again}
+    # ascending mode keeps the LOWEST scores
+    asc = curate.cap_per_group(df, "grp", 2, "score", descending=False)
+    assert all(r["score"] <= 1.0 for r in asc.collect())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate.cap_per_group(df, "grp", 0, "score")
+
+
+def test_cap_per_group_plan_is_window_group_limit(spark):
+    """The rank<=n filter must be rewritten into WindowGroupLimit: each
+    input partition keeps only its local top-n per group BEFORE the
+    group-key exchange — the property that makes a 100M-page host ship n
+    rows per upstream partition instead of 100M."""
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "doc_id long, grp string, score double",
+    )
+    out = curate.cap_per_group(df, "grp", 3, "score")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
