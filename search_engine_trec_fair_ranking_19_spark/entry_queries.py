@@ -666,6 +666,18 @@ def q_take_token_budget(spark, sf_dir):
     return sampling.take_token_budget(docs, 10_000, "tokens", n_buckets=64)
 
 
+def q_chunk_tokens(spark, sf_dir):
+    """Context-length chunking: every document split into 40-token windows
+    with 8-token overlap (coverage count — the final window ends at the
+    document tail, no redundant trailing windows). Map-only generator plan,
+    no shuffle (plan-pinned in tests/test_chunking.py); the oracle rebuilds
+    every window positionally with DuckDB list slicing."""
+    from .functions import chunking
+
+    docs = load_documents(spark, sf_dir)
+    return chunking.chunk_tokens(docs, max_len=40, overlap=8)
+
+
 def q_char_histogram(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return (
@@ -964,6 +976,7 @@ QUERIES = {
     "deterministic_split": q_deterministic_split,
     "stratified_sample": q_stratified_sample,
     "take_token_budget": q_take_token_budget,
+    "chunk_tokens": q_chunk_tokens,
     "char_histogram": q_char_histogram,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1168,6 +1181,23 @@ cum AS (
 SELECT doc_id, tokens FROM cum
 WHERE c <= 10000
   AND b <= coalesce((SELECT min(b) FROM cum WHERE c > 10000), 64)
+""",
+    "chunk_tokens": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE greatest(ceil((len(toks) - 40) / 32.0)::INT, 0) + 1 END AS nc
+  FROM t
+)
+SELECT doc_id, i AS chunk_id,
+       len(toks[i*32+1 : i*32+40]) AS n_tokens,
+       array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk
+FROM c, unnest(generate_series(0, nc - 1)) AS g(i)
 """,
     "char_histogram": """
 SELECT ch, count(*) AS n
