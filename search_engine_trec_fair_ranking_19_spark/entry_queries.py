@@ -666,6 +666,19 @@ def q_take_token_budget(spark, sf_dir):
     return sampling.take_token_budget(docs, 10_000, "tokens", n_buckets=64)
 
 
+def q_mix_corpora(spark, sf_dir):
+    """Weighted two-corpus training mix (even doc_ids = corpus A at 1.5
+    epochs, odd = corpus B at 0.25): full epochs are whole copies, the
+    fractional epoch a (corpus, epoch, key)-salted md5 subset. The oracle
+    re-derives every epoch's membership independently in DuckDB."""
+    from .functions import sampling
+
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return sampling.mix_corpora({"A": (a, 1.5), "B": (b, 0.25)})
+
+
 def q_chunk_tokens(spark, sf_dir):
     """Context-length chunking: every document split into 40-token windows
     with 8-token overlap (coverage count — the final window ends at the
@@ -977,6 +990,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "take_token_budget": q_take_token_budget,
     "chunk_tokens": q_chunk_tokens,
+    "mix_corpora": q_mix_corpora,
     "char_histogram": q_char_histogram,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1181,6 +1195,19 @@ cum AS (
 SELECT doc_id, tokens FROM cum
 WHERE c <= 10000
   AND b <= coalesce((SELECT min(b) FROM cum WHERE c > 10000), 64)
+""",
+    "mix_corpora": """
+WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+SELECT doc_id, 0 AS epoch, 'A' AS corpus FROM a
+UNION ALL
+SELECT doc_id, 1 AS epoch, 'A' AS corpus FROM a
+WHERE ('0x' || substr(md5('A:1:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000
+      < 500000
+UNION ALL
+SELECT doc_id, 0 AS epoch, 'B' AS corpus FROM b
+WHERE ('0x' || substr(md5('B:0:' || doc_id::VARCHAR), 1, 8))::UBIGINT % 1000000
+      < 250000
 """,
     "chunk_tokens": r"""
 WITH t AS (

@@ -126,6 +126,49 @@ def stratified_sample(
     return df.filter(bucket < cut)
 
 
+def mix_corpora(
+    parts: "dict[str, tuple[DataFrame, float]]",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted multi-corpus training mix: each named corpus appears
+    ``weight`` epochs — full copies for the integer part, a deterministic
+    key-hash subset for the fractional part ("2 epochs of wiki + 0.25 of
+    web"). Output = union of the parts with ``corpus`` and ``epoch``
+    columns, so every emitted row's provenance survives into the mix.
+
+    Membership of the fractional epoch hashes (corpus, epoch, key), NOT
+    the bare key: the partial epoch of one corpus is uncorrelated with its
+    other epochs, with other corpora, and with any `deterministic_sample`
+    downstream — re-running the mix at any cluster size reproduces the
+    identical multiset of rows. Map-only per part (explode over epoch
+    indices + one hash compare); the union adds no exchange."""
+    out = None
+    for name, (df, weight) in parts.items():
+        if weight < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {weight}")
+        full = int(weight)
+        frac = weight - full
+        frac_cut = int(round(frac * DEFAULT_BUCKETS))
+        n_epochs = full + (1 if frac_cut > 0 else 0)
+        if n_epochs == 0:
+            continue
+        part = df.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1)))
+        )
+        if frac_cut > 0:
+            salted = F.concat_ws(
+                ":", F.lit(name), F.col("epoch"), F.col(key_col)
+            )
+            part = part.filter(
+                (F.col("epoch") < full) | (hash_bucket(salted) < frac_cut)
+            )
+        part = part.withColumn("corpus", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("mix_corpora needs at least one part with weight > 0")
+    return out
+
+
 def take_token_budget(
     df: DataFrame,
     budget: int,

@@ -157,3 +157,45 @@ def test_take_token_budget_prefix_semantics(spark):
     assert sampling.take_token_budget(df, 0, "tokens", n_buckets=32).count() == 0
     with pytest.raises(ValueError):
         sampling.take_token_budget(df, -1, "tokens")
+
+
+def test_mix_corpora_epochs_and_fractions(spark):
+    a = _ids(spark, 1000)
+    b = _ids(spark, 1000)
+    out = sampling.mix_corpora({"A": (a, 2.5), "B": (b, 0.25)})
+    assert set(out.columns) == {"doc_id", "epoch", "corpus"}
+    counts = {
+        (r["corpus"], r["epoch"]): r["n"]
+        for r in out.groupBy("corpus", "epoch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # integer epochs are FULL copies
+    assert counts[("A", 0)] == 1000 and counts[("A", 1)] == 1000
+    # fractional epochs are ~rate subsets
+    assert 400 < counts[("A", 2)] < 600
+    assert 150 < counts[("B", 0)] < 350
+    assert set(counts) == {("A", 0), ("A", 1), ("A", 2), ("B", 0)}
+    # fractional membership is salted per (corpus, epoch): A's partial
+    # epoch and B's partial epoch select DIFFERENT key subsets
+    a2 = {r["doc_id"] for r in out.filter("corpus='A' and epoch=2").collect()}
+    b0 = {r["doc_id"] for r in out.filter("corpus='B' and epoch=0").collect()}
+    assert a2 != b0
+    # deterministic: identical multiset on a repartitioned input
+    again = sampling.mix_corpora(
+        {"A": (a.repartition(17), 2.5), "B": (b, 0.25)}
+    )
+    key = lambda r: (r["corpus"], r["epoch"], r["doc_id"])
+    assert sorted(map(key, out.collect())) == sorted(map(key, again.collect()))
+
+
+def test_mix_corpora_edge_weights(spark):
+    a = _ids(spark, 100)
+    # weight 0 part contributes nothing
+    out = sampling.mix_corpora({"A": (a, 1.0), "Z": (a, 0.0)})
+    assert out.filter("corpus='Z'").count() == 0
+    assert out.count() == 100
+    with pytest.raises(ValueError):
+        sampling.mix_corpora({"A": (a, -0.1)})
+    with pytest.raises(ValueError):
+        sampling.mix_corpora({"A": (a, 0.0)})
