@@ -776,6 +776,28 @@ def q_curation_decisions(spark, sf_dir):
     )
 
 
+def q_training_chunks(spark, sf_dir):
+    """The whole raw-crawl → training-chunks composition as ONE gate:
+    curation (same knobs as the `curation_decisions` gate) → per-source
+    cap 10 (best rounded quality, id tie-break) → 90/10 doc-level
+    train/val split → 40-token chunks with 8 overlap. The DuckDB twin
+    reuses the curation CTE prefix verbatim and re-derives the cap, the
+    md5 split, and every chunk window positionally — the end-to-end
+    pipeline a training run executes, checked value-exactly."""
+    docs = load_documents(spark, sf_dir)
+    return curate.prepare_training_set(
+        docs,
+        cap_per_source=10,
+        split_weights={"train": 0.9, "val": 0.1},
+        max_len=40,
+        overlap=8,
+        langs=("en",),
+        min_quality=0.5,
+        shingle_n=2,
+        near_dup_threshold=0.1,
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs WITH a full SQL oracle: at threshold 0.5
     the 32-band/2-row family's miss probability is (1 − s²)³² < 1e-4, and on
@@ -997,6 +1019,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "domain_cap": q_domain_cap,
     "curation_decisions": q_curation_decisions,
+    "training_chunks": q_training_chunks,
     "minhash_lsh_pairs": q_minhash_pairs,
     "minhash_incremental_pairs": q_minhash_incremental_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1747,3 +1770,43 @@ ORACLE_SQL["ann_cosine_ivf"] = ORACLE_SQL["ann_cosine_lsh"]
 # the batch evaluation path must produce IDENTICAL metrics to the sequential
 # one — same oracle, different (single-plan) physical strategy
 ORACLE_SQL["evaluation_batch_ap_ndcg"] = ORACLE_SQL["evaluation_ap_ndcg"]
+
+# Composed training-set oracle: the curation CTE prefix (everything through
+# `dec`) is reused VERBATIM from the curation_decisions oracle, then the
+# per-source cap, the md5 doc-level split, and the chunk windows are
+# re-derived in plain SQL.
+_CURATION_CTES = ORACLE_SQL["curation_decisions"].rsplit(
+    "\nSELECT doc_id, lang", 1
+)[0]
+ORACLE_SQL["training_chunks"] = _CURATION_CTES + r""",
+kept AS (
+  SELECT doc_id, round(quality, 6) AS q FROM dec WHERE drop_reason IS NULL
+),
+capped AS (
+  SELECT doc_id, source, text, split FROM (
+    SELECT d.doc_id, d.source, d.text, k.q,
+           row_number() OVER (
+             PARTITION BY d.source ORDER BY k.q DESC, d.doc_id
+           ) AS rk,
+           CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+                     % 1000000 < 900000
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents d JOIN kept k USING (doc_id)
+  ) WHERE rk <= 10
+),
+ct AS (
+  SELECT doc_id, source, split,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM capped
+),
+cg AS (
+  SELECT doc_id, source, split, toks,
+         CASE WHEN len(toks) = 0 THEN 0
+              ELSE greatest(ceil((len(toks) - 40) / 32.0)::INT, 0) + 1 END AS nc
+  FROM ct
+)
+SELECT doc_id, source, split, i AS chunk_id,
+       len(toks[i*32+1 : i*32+40]) AS n_tokens,
+       array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk
+FROM cg, unnest(generate_series(0, nc - 1)) AS g(i)
+"""

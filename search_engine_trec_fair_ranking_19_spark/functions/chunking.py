@@ -30,8 +30,12 @@ def chunk_tokens(
     overlap: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """One row per (doc, chunk): ``(id_col, chunk_id, n_tokens, chunk)``.
+    """One row per (doc, chunk): ``(id_col, *carry_cols, chunk_id,
+    n_tokens, chunk)``. ``carry_cols`` are document-level columns carried
+    through the generator onto every chunk (split label, source, lang) —
+    a projection, never a join back on the id.
 
     ``chunk`` is the whitespace re-join of tokens
     ``[chunk_id*stride, chunk_id*stride + max_len)`` where
@@ -62,24 +66,30 @@ def chunk_tokens(
         )
         + F.lit(1)
     )
+    carry = list(carry_cols)
     return (
-        df.select(F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc"))
+        df.select(
+            F.col(id_col), *carry, toks.alias("__toks"), n_chunks.alias("__nc")
+        )
         .filter(F.col("__nc") > 0)
         .select(
             id_col,
+            *carry,
             F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
             F.col("__toks"),
         )
         .select(
             id_col,
-            "chunk_id",
+            *carry,
+            F.col("chunk_id"),
             F.slice(
                 F.col("__toks"), F.col("chunk_id") * stride + 1, max_len
             ).alias("__chunk_toks"),
         )
         .select(
             id_col,
-            "chunk_id",
+            *carry,
+            F.col("chunk_id"),
             F.size("__chunk_toks").alias("n_tokens"),
             F.array_join("__chunk_toks", " ").alias("chunk"),
         )

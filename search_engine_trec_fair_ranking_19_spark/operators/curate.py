@@ -150,3 +150,66 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id", **kwargs) -> DataFrame:
         F.col("keep")
     ).select(F.col("doc_id").alias(id_col))
     return df.join(keep_ids, id_col, "left_semi")
+
+
+def prepare_training_set(
+    df: DataFrame,
+    cap_per_source: int | None = None,
+    split_weights: "dict[str, float] | None" = None,
+    max_len: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    **curate_kwargs,
+) -> DataFrame:
+    """The whole raw-crawl → training-chunks pipeline as one frame:
+    curation (lang → quality → exact dedup → near-dup CC) → per-source
+    diversity cap → DOC-LEVEL train/val split → context-length chunking.
+    Output: one row per training chunk —
+    ``(doc_id, source, split, chunk_id, n_tokens, chunk)``.
+
+    The split is assigned to the DOCUMENT, before chunking: overlapping
+    chunks of one page are near-duplicates of each other by construction,
+    so chunk-level splitting would leak every val doc into train. Chunks
+    inherit the doc's split through the generator (a projection — the
+    split column rides `chunk_tokens`'s carry_cols, no join back on id).
+
+    Everything downstream of the curation decision is deterministic in the
+    engine-independent sense: the cap orders on the 6-dp-ROUNDED quality
+    with id tie-break, the split is the md5-bucket function, chunk
+    geometry is positional — rerunning at any cluster size yields the
+    identical chunk multiset (pinned in tests/test_curate.py; the full
+    composition has a DuckDB twin, gate `training_chunks`)."""
+    from ..functions.chunking import chunk_tokens
+    from ..functions.sampling import deterministic_split
+
+    sid = F.col(id_col).cast("long")
+    decisions = curation_decisions(
+        df, id_col=id_col, text_col=text_col, **curate_kwargs
+    )
+    kept = decisions.filter(F.col("keep")).select(
+        "doc_id", F.round(F.col("quality"), 6).alias("__q")
+    )
+    base = df.select(
+        sid.alias("doc_id"), F.col(source_col), F.col(text_col).alias("text")
+    ).join(kept, "doc_id")
+    if cap_per_source is not None:
+        base = cap_per_group(base, source_col, cap_per_source, "__q")
+    base = deterministic_split(
+        base, split_weights or {"train": 0.9, "val": 0.1}
+    )
+    return chunk_tokens(
+        base.drop("__q"),
+        max_len=max_len,
+        overlap=overlap,
+        carry_cols=(source_col, "split"),
+    )
+
+
+def write_training_set(chunks: DataFrame, out_dir: str) -> None:
+    """Materialize the training set partitioned by split: downstream
+    trainers read ``out_dir/split=train`` without touching val bytes
+    (partition-pruned scan), and the val directory is immutable evidence
+    of what was held out."""
+    chunks.write.mode("overwrite").partitionBy("split").parquet(out_dir)

@@ -128,3 +128,92 @@ def test_cap_per_group_plan_is_window_group_limit(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def _src_docs(spark):
+    # kept docs from _docs plus a source column; docs 2/3 dup-drop, 4 lang,
+    # 5 quality (with the _decisions defaults) -> keeps {1, 6}
+    return _docs(spark).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string"))
+    )
+
+
+def test_prepare_training_set_end_to_end(spark, tmp_path):
+    chunks = curate.prepare_training_set(
+        _src_docs(spark),
+        cap_per_source=5,
+        split_weights={"train": 0.5, "val": 0.5},
+        max_len=8,
+        overlap=2,
+        langs=("en",),
+        min_quality=0.3,
+        shingle_n=3,
+        near_dup_threshold=0.5,
+    )
+    rows = chunks.collect()
+    assert set(chunks.columns) == {
+        "doc_id", "source", "split", "chunk_id", "n_tokens", "chunk"
+    }
+    # only curation survivors produce chunks
+    assert {r["doc_id"] for r in rows} == {1, 6}
+    # doc-level split: every chunk of a doc carries the SAME split
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_doc.values())
+    # chunks reassemble each doc's whitespace tokens exactly
+    for d in (1, 6):
+        text = {r["doc_id"]: r["text"] for r in _src_docs(spark).collect()}[d]
+        ordered = sorted(
+            (r for r in rows if r["doc_id"] == d), key=lambda r: r["chunk_id"]
+        )
+        merged = ordered[0]["chunk"].split()
+        for r in ordered[1:]:
+            merged += r["chunk"].split()[2:]
+        assert merged == text.split()
+    # reproducible under repartition
+    again = curate.prepare_training_set(
+        _src_docs(spark).repartition(5),
+        cap_per_source=5,
+        split_weights={"train": 0.5, "val": 0.5},
+        max_len=8,
+        overlap=2,
+        langs=("en",),
+        min_quality=0.3,
+        shingle_n=3,
+        near_dup_threshold=0.5,
+    ).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"], r["split"], r["chunk"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    # write partitioned by split and round-trip
+    out = str(tmp_path / "train_set")
+    curate.write_training_set(chunks, out)
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)
+    splits = {r["split"] for r in rows}
+    import os
+
+    assert {
+        d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")
+    } == splits
+
+
+def test_prepare_training_set_cap_applies(spark):
+    # 8 clean english docs in ONE source; cap 3 keeps the 3 best quality
+    rows = [
+        (i, _EN_PAD2 + f" doc{i} " + " ".join(f"u{i}x{j}" for j in range(i)))
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("only")
+    )
+    chunks = curate.prepare_training_set(
+        df,
+        cap_per_source=3,
+        max_len=64,
+        langs=("en",),
+        min_quality=0.0,
+        shingle_n=3,
+        near_dup_threshold=0.99,
+    )
+    assert len({r["doc_id"] for r in chunks.collect()}) == 3
