@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .config import EngineConfig
 from .functions import text_analysis as ta
-from .operators import curate, dedup, multimodal, similarity
+from .operators import curate, decontaminate, dedup, multimodal, similarity
 from .operators import query as q
 from .operators.evaluate import evaluate, evaluate_batch
 from .operators.index_build import IndexTables, build_index
@@ -798,6 +798,22 @@ def q_training_chunks(spark, sf_dir):
     )
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination hits: docs ending in 0 play the 'eval
+    benchmark', the rest the training corpus; n_hits = distinct shared
+    trigrams (n=3 because gate docs are short; production default is the
+    canonical 13). Engine side joins 64-bit shingle hashes against the
+    broadcast eval set; the oracle re-derives the exact shared-string
+    counts — equal on this fixed data (collision regime as the MinHash
+    gate)."""
+    docs = load_documents(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate.contamination_hits(
+        train, decontaminate.eval_ngram_hashes(ev, n=3), n=3
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs WITH a full SQL oracle: at threshold 0.5
     the 32-band/2-row family's miss probability is (1 − s²)³² < 1e-4, and on
@@ -1020,6 +1036,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "curation_decisions": q_curation_decisions,
     "training_chunks": q_training_chunks,
+    "decontamination": q_decontamination,
     "minhash_lsh_pairs": q_minhash_pairs,
     "minhash_incremental_pairs": q_minhash_incremental_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1809,4 +1826,21 @@ SELECT doc_id, source, split, i AS chunk_id,
        len(toks[i*32+1 : i*32+40]) AS n_tokens,
        array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk
 FROM cg, unnest(generate_series(0, nc - 1)) AS g(i)
+"""
+
+ORACLE_SQL["decontamination"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i+2], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+SELECT doc_id, count(*) AS n_hits
+FROM tr JOIN ev USING (s)
+GROUP BY doc_id
 """
