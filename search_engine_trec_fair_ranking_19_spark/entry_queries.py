@@ -613,6 +613,22 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals, linear per doc and fully
+    closed-form: duplicate-line, duplicate-word, and duplicate-trigram
+    ratios (1 − distinct/total). The oracle re-derives all three from
+    DuckDB list functions."""
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(ta.dup_line_ratio(F.col("text")), 6).alias("dup_line_ratio"),
+        F.round(ta.dup_word_ratio(F.col("text")), 6).alias("dup_word_ratio"),
+        F.round(ta.dup_ngram_ratio(F.col("text"), 3), 6).alias(
+            "dup_trigram_ratio"
+        ),
+    )
+
+
 def q_fingerprints(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
@@ -1024,6 +1040,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
+    "repetition_signals": q_repetition_signals,
     "deterministic_split": q_deterministic_split,
     "stratified_sample": q_stratified_sample,
     "take_token_budget": q_take_token_budget,
@@ -1826,6 +1843,36 @@ SELECT doc_id, source, split, i AS chunk_id,
        len(toks[i*32+1 : i*32+40]) AS n_tokens,
        array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk
 FROM cg, unnest(generate_series(0, nc - 1)) AS g(i)
+"""
+
+ORACLE_SQL["repetition_signals"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lines, toks,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i : i+2], ' '))
+              ELSE []::VARCHAR[] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       round(CASE WHEN len(lines) = 0 THEN 0
+                  ELSE 1 - len(list_distinct(lines)) / len(lines)::DOUBLE END, 6)
+         AS dup_line_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0
+                  ELSE 1 - len(list_distinct(toks)) / len(toks)::DOUBLE END, 6)
+         AS dup_word_ratio,
+       round(CASE WHEN len(grams) = 0 THEN 0
+                  ELSE 1 - len(list_distinct(grams)) / len(grams)::DOUBLE END, 6)
+         AS dup_trigram_ratio
+FROM g
 """
 
 ORACLE_SQL["decontamination"] = r"""

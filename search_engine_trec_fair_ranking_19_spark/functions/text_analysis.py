@@ -112,6 +112,54 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _lines(text: Column) -> Column:
+    """Trimmed non-empty lines."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), F.trim), lambda x: x != ""
+    )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """ALL word n-grams in order (duplicates kept — that is the signal).
+
+    Guarded like dedup._shingle_starts: sub-n-token docs yield an empty
+    array, not a negative-step sequence."""
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def _dup_ratio(arr: Column) -> Column:
+    """Fraction of elements that are repeats of an earlier element: 1 −
+    distinct/total, 0 for empty arrays."""
+    return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr)
+    )
+
+
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of (trimmed, non-empty) lines that duplicate an earlier
+    line — boilerplate nav/footer spam scores high. Linear per doc,
+    closed-form JVM expressions."""
+    return _dup_ratio(_lines(text))
+
+
+def dup_word_ratio(text: Column) -> Column:
+    """Fraction of word tokens that repeat an earlier token. Natural prose
+    sits well below keyword-stuffing/spam pages."""
+    return _dup_ratio(word_tokens(text))
+
+
+def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram — the
+    repeated-phrase signal (template farms, lyrics loops, SEO spam).
+    Repetition filters over line/word/n-gram ratios are the standard
+    web-corpus quality gate alongside the length/punct heuristics of
+    quality_score."""
+    return _dup_ratio(_ngrams(word_tokens(text), n))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text (the exact-dedup key)."""

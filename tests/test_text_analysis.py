@@ -64,3 +64,59 @@ def test_fingerprint_normalization(spark):
     fps = {r["id"]: r["fp"] for r in df.select("id", ta.fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps[1] == fps[2] == fps[3]
     assert len(fps[1]) == 32
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 lines, "menu home" twice -> 1/4 dup lines; words:
+            # [menu home menu home about us contact us] -> 8 tokens,
+            # 5 distinct -> dup_word 3/8; trigrams: 6 total, all distinct
+            # except "menu home menu" appears once... compute below
+            (1, "menu home\nabout us\nmenu home\ncontact us"),
+            # no repetition at all
+            (2, "one two three four five"),
+            # pure loop: "spam spam spam spam"
+            (3, "spam spam spam spam"),
+            # shorter than n tokens -> zero ngrams, ratio 0
+            (4, "tiny doc"),
+            ("5", ""),  # empty text -> all ratios 0
+        ],
+        "id string, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            ta.dup_line_ratio(F.col("text")).alias("dl"),
+            ta.dup_word_ratio(F.col("text")).alias("dw"),
+            ta.dup_ngram_ratio(F.col("text"), 3).alias("dn"),
+        ).collect()
+    }
+
+    def py_ref(text, n=3):
+        import re
+
+        lines = [x.strip() for x in text.split("\n") if x.strip()]
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        def dup(a):
+            return 0.0 if not a else 1.0 - len(set(a)) / len(a)
+
+        return dup(lines), dup(toks), dup(grams)
+
+    for rid, text in [
+        ("1", "menu home\nabout us\nmenu home\ncontact us"),
+        ("2", "one two three four five"),
+        ("3", "spam spam spam spam"),
+        ("4", "tiny doc"),
+        ("5", ""),
+    ]:
+        dl, dw, dn = py_ref(text)
+        assert abs(rows[rid]["dl"] - dl) < 1e-12, (rid, "line")
+        assert abs(rows[rid]["dw"] - dw) < 1e-12, (rid, "word")
+        assert abs(rows[rid]["dn"] - dn) < 1e-12, (rid, "ngram")
+    # the loop page is maximally repetitive, the clean page not at all
+    assert rows["3"]["dw"] == 0.75 and rows["2"]["dw"] == 0.0
+    assert rows["3"]["dn"] == 0.5  # [spam spam spam] x2 -> 1 dup of 2
