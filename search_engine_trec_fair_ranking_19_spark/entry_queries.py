@@ -629,6 +629,34 @@ def q_repetition_signals(spark, sf_dir):
     )
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII masking as a map-only scan. Each row gets a deterministic
+    synthetic email / IPv4 / phone appended (the fixture corpus is clean,
+    so both engines build the same dirty text), then the ordered
+    email→ipv4→phone passes mask them. The oracle runs the IDENTICAL
+    pattern strings (Java-regex ∩ RE2 subset) through DuckDB
+    regexp_replace/extract_all."""
+    from .functions import redact
+
+    docs = load_documents(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 (555) 123-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        redact.redact_pii(aug).alias("redacted"),
+        redact.pii_count(aug, "email").cast("long").alias("n_email"),
+        redact.pii_count(aug, "ipv4").cast("long").alias("n_ipv4"),
+        redact.pii_count(aug, "phone").cast("long").alias("n_phone"),
+    )
+
+
 def q_fingerprints(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
@@ -1041,6 +1069,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "repetition_signals": q_repetition_signals,
+    "pii_redaction": q_pii_redaction,
     "deterministic_split": q_deterministic_split,
     "stratified_sample": q_stratified_sample,
     "take_token_budget": q_take_token_budget,
@@ -1844,6 +1873,34 @@ SELECT doc_id, source, split, i AS chunk_id,
        array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk
 FROM cg, unnest(generate_series(0, nc - 1)) AS g(i)
 """
+
+# PII oracle: pattern strings injected VERBATIM from redact.PII_PATTERNS so
+# the two engines can never drift; sequential-mask semantics match
+# redact_pii/pii_count exactly
+from .functions.redact import PII_PATTERNS as _PII  # noqa: E402
+
+ORACLE_SQL["pii_redaction"] = (
+    """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@example.com from 10.0.' || (doc_id % 256)::VARCHAR
+              || '.7 call +1 (555) 123-' || (1000 + doc_id % 9000)::VARCHAR AS t
+  FROM documents
+),
+m1 AS (SELECT doc_id, t, regexp_replace(t, '<EMAIL>', '[email]', 'g') AS t1 FROM aug),
+m2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '<IPV4>', '[ipv4]', 'g') AS t2 FROM m1)
+SELECT doc_id,
+       regexp_replace(t2, '<PHONE>', '[phone]', 'g') AS redacted,
+       len(regexp_extract_all(t, '<EMAIL>')) AS n_email,
+       len(regexp_extract_all(t1, '<IPV4>')) AS n_ipv4,
+       len(regexp_extract_all(t2, '<PHONE>')) AS n_phone
+FROM m2
+"""
+    .replace("<EMAIL>", _PII["email"])
+    .replace("<IPV4>", _PII["ipv4"])
+    .replace("<PHONE>", _PII["phone"])
+)
 
 ORACLE_SQL["repetition_signals"] = r"""
 WITH t AS (
