@@ -657,6 +657,31 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+def q_url_normalization(spark, sf_dir):
+    """Host extraction + canonical URL as a map-only scan. Deterministic
+    synthetic URLs are built per row in both engines (mixed-case
+    scheme/host, tracking + real params, fragment) and pushed through the
+    identical regex pipeline — DuckDB re-derives every step with the
+    verbatim pattern strings."""
+    from .functions import urls
+
+    docs = load_documents(spark, sf_dir)
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".COM/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=g&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&fbclid=x&ref=keep#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        urls.url_host(url).alias("host"),
+        urls.normalize_url(url).alias("canonical_url"),
+    )
+
+
 def q_fingerprints(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return docs.select("doc_id", ta.fingerprint(F.col("text")).alias("fp"))
@@ -1070,6 +1095,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "repetition_signals": q_repetition_signals,
     "pii_redaction": q_pii_redaction,
+    "url_normalization": q_url_normalization,
     "deterministic_split": q_deterministic_split,
     "stratified_sample": q_stratified_sample,
     "take_token_budget": q_take_token_budget,
@@ -1900,6 +1926,48 @@ FROM m2
     .replace("<EMAIL>", _PII["email"])
     .replace("<IPV4>", _PII["ipv4"])
     .replace("<PHONE>", _PII["phone"])
+)
+
+# URL oracle: same verbatim-pattern injection as the PII oracle
+from .functions.urls import (  # noqa: E402
+    TRACKING_PARAM_RE as _TRACK_RE,
+    _HOST_RE,
+    _PREFIX_RE,
+)
+
+ORACLE_SQL["url_normalization"] = (
+    r"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || (doc_id % 20)::VARCHAR || '.COM/Path/'
+         || doc_id::VARCHAR || '?utm_source=g&id=' || doc_id::VARCHAR
+         || '&fbclid=x&ref=keep#frag' AS url
+  FROM documents
+),
+d AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u0 FROM u),
+p AS (SELECT doc_id, url, u0, regexp_extract(u0, '<PREFIX>', 1) AS pre FROM d),
+n AS (SELECT doc_id, url, lower(pre) || substr(u0, length(pre) + 1) AS u1 FROM p),
+q AS (
+  SELECT doc_id, url, u1,
+         regexp_extract(u1, '^([^?#]*)', 1) AS base,
+         regexp_extract(u1, '\?([^#]*)', 1) AS query,
+         regexp_extract(u1, '(#.*)$', 1) AS tail
+  FROM n
+),
+f AS (
+  SELECT *, array_to_string(
+    list_filter(string_split(query, '&'),
+                x -> NOT regexp_matches(x, '<TRACK>')), '&') AS nq
+  FROM q
+)
+SELECT doc_id,
+       lower(regexp_extract(url, '<HOST>', 1)) AS host,
+       base || CASE WHEN query = '' OR nq = '' THEN '' ELSE '?' || nq END
+            || tail AS canonical_url
+FROM f
+""".replace("<PREFIX>", _PREFIX_RE)
+    .replace("<HOST>", _HOST_RE)
+    .replace("<TRACK>", _TRACK_RE)
 )
 
 ORACLE_SQL["repetition_signals"] = r"""
