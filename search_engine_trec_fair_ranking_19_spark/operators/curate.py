@@ -161,13 +161,25 @@ def prepare_training_set(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    eval_df: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    redact: bool = False,
     **curate_kwargs,
 ) -> DataFrame:
     """The whole raw-crawl → training-chunks pipeline as one frame:
-    curation (lang → quality → exact dedup → near-dup CC) → per-source
-    diversity cap → DOC-LEVEL train/val split → context-length chunking.
-    Output: one row per training chunk —
-    ``(doc_id, source, split, chunk_id, n_tokens, chunk)``.
+    curation (lang → quality → exact dedup → near-dup CC) → benchmark
+    decontamination (when ``eval_df`` is given: docs sharing any
+    ``decontaminate_n``-gram with the eval set are dropped) → PII
+    redaction (when ``redact``) → per-source diversity cap → DOC-LEVEL
+    train/val split → context-length chunking. Output: one row per
+    training chunk — ``(doc_id, source, split, chunk_id, n_tokens,
+    chunk)``.
+
+    Decontamination runs on CURATION SURVIVORS ONLY (cheap filters first;
+    the n-gram probe is the most expensive map stage) but BEFORE the cap,
+    so a contaminated page can never occupy a capped slot. Redaction runs
+    before chunking so placeholder tokens count toward chunk geometry
+    exactly like the text they replaced.
 
     The split is assigned to the DOCUMENT, before chunking: overlapping
     chunks of one page are near-duplicates of each other by construction,
@@ -194,6 +206,22 @@ def prepare_training_set(
     base = df.select(
         sid.alias("doc_id"), F.col(source_col), F.col(text_col).alias("text")
     ).join(kept, "doc_id")
+    if eval_df is not None:
+        from .decontaminate import contamination_hits, eval_ngram_hashes
+
+        hits = contamination_hits(
+            base,
+            eval_ngram_hashes(eval_df, n=decontaminate_n, text_col=text_col),
+            n=decontaminate_n,
+            text_col="text",
+        )
+        base = base.join(
+            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+        )
+    if redact:
+        from ..functions.redact import redact_pii
+
+        base = base.withColumn("text", redact_pii(F.col("text")))
     if cap_per_source is not None:
         base = cap_per_group(base, source_col, cap_per_source, "__q")
     base = deterministic_split(

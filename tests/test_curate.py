@@ -217,3 +217,36 @@ def test_prepare_training_set_cap_applies(spark):
         near_dup_threshold=0.99,
     )
     assert len({r["doc_id"] for r in chunks.collect()}) == 3
+
+
+def test_prepare_training_set_decontaminates_and_redacts(spark):
+    # doc 7: clean english but contains a verbatim eval-set span
+    # doc 8: clean english with an email to be masked
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (7, _EN_PAD2 + " " + span + " trailing words here"),
+        (8, _EN_PAD + " reach me at jane@example.com for details"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "source", F.lit("s")
+    )
+    ev = spark.createDataFrame(
+        [(99, "irrelevant prefix " + span + " suffix")],
+        "doc_id long, text string",
+    )
+    chunks = curate.prepare_training_set(
+        df,
+        eval_df=ev,
+        decontaminate_n=8,
+        redact=True,
+        max_len=64,
+        langs=("en",),
+        min_quality=0.0,
+        shingle_n=3,
+        near_dup_threshold=0.99,
+    )
+    rows = chunks.collect()
+    # contaminated doc 7 gone; doc 8 kept with the email masked
+    assert {r["doc_id"] for r in rows} == {8}
+    assert all("jane@example.com" not in r["chunk"] for r in rows)
+    assert any("[email]" in r["chunk"] for r in rows)
