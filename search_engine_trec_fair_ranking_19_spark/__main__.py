@@ -1,4 +1,4 @@
-"""Command-line surface: build / query / evaluate / curate.
+"""Command-line surface: build / query / evaluate / curate / prepare.
 
 The reference exposes its engine to users through an interactive app
 (``Themis.java``/``Search.java``: create index, run a query, evaluate
@@ -14,6 +14,9 @@ writing PySpark:
         --index /data/index --judgments judgments.jsonl --model bm25
     python -m search_engine_trec_fair_ranking_19_spark curate \
         --input /data/docs.parquet --out /data/curated
+    python -m search_engine_trec_fair_ranking_19_spark prepare \
+        --input /data/docs.parquet --out /data/train_set \
+        --eval /data/benchmark.parquet --redact --cap-per-source 1000
 
 Input tables may be either the engine's webtext shape (``url``, ``text``,
 …) or a ``(doc_id, text, …)`` documents table, which is adapted with the
@@ -182,6 +185,71 @@ def cmd_curate(spark: SparkSession, args) -> int:
     return 0
 
 
+def _parse_split(spec: str) -> dict:
+    out = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        if not name or not w:
+            raise SystemExit(f"bad --split spec {spec!r}; want name=w,name=w")
+        out[name] = float(w)
+    return out
+
+
+def cmd_prepare(spark: SparkSession, args) -> int:
+    """Raw corpus → partitioned training chunks: the whole
+    curate → decontaminate → redact → cap → split → chunk composition
+    (`curate.prepare_training_set`) as one command."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .functions.urls import url_host
+    from .operators.curate import prepare_training_set, write_training_set
+
+    docs = spark.read.parquet(args.input)
+    if "doc_id" not in docs.columns:
+        if "url" not in docs.columns:
+            raise SystemExit(
+                f"input {args.input} needs a doc_id or url column; got {docs.columns}"
+            )
+        docs = docs.withColumn(
+            "doc_id", F.row_number().over(Window.orderBy("url"))
+        )
+    if "source" not in docs.columns:
+        # webtext shape: the per-source diversity cap groups by host
+        docs = docs.withColumn(
+            "source",
+            url_host(F.col("url")) if "url" in docs.columns else F.lit("all"),
+        )
+    eval_df = spark.read.parquet(args.eval) if args.eval else None
+    chunks = prepare_training_set(
+        docs,
+        cap_per_source=args.cap_per_source,
+        split_weights=_parse_split(args.split),
+        max_len=args.max_len,
+        overlap=args.overlap,
+        eval_df=eval_df,
+        decontaminate_n=args.decontaminate_n,
+        redact=args.redact,
+        langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        shingle_n=args.shingle_n,
+        near_dup_threshold=args.near_dup_threshold,
+    )
+    write_training_set(chunks, args.out)
+    back = spark.read.parquet(args.out)
+    per_split = {
+        r["split"]: {"chunks": int(r["chunks"]), "tokens": int(r["tokens"])}
+        for r in back.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .collect()
+    }
+    print(json.dumps({"out": args.out, "splits": per_split}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="search_engine_trec_fair_ranking_19_spark")
     p.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -222,6 +290,25 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-quality", type=float, default=0.35)
     c.add_argument("--shingle-n", type=int, default=3)
     c.add_argument("--near-dup-threshold", type=float, default=0.8)
+
+    t = sub.add_parser(
+        "prepare",
+        help="raw corpus -> partitioned training chunks "
+        "(curate/decontaminate/redact/cap/split/chunk)",
+    )
+    t.add_argument("--input", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--eval", default=None, help="eval/benchmark parquet to decontaminate against")
+    t.add_argument("--decontaminate-n", type=int, default=13)
+    t.add_argument("--redact", action="store_true", help="mask emails/IPs/phones")
+    t.add_argument("--cap-per-source", type=int, default=None)
+    t.add_argument("--split", default="train=0.9,val=0.1")
+    t.add_argument("--max-len", type=int, default=512)
+    t.add_argument("--overlap", type=int, default=0)
+    t.add_argument("--langs", default="en")
+    t.add_argument("--min-quality", type=float, default=0.35)
+    t.add_argument("--shingle-n", type=int, default=3)
+    t.add_argument("--near-dup-threshold", type=float, default=0.8)
     return p
 
 
@@ -234,6 +321,7 @@ def main(argv: list[str] | None = None) -> int:
             "query": cmd_query,
             "evaluate": cmd_evaluate,
             "curate": cmd_curate,
+            "prepare": cmd_prepare,
         }[args.cmd](spark, args)
     finally:
         spark.stop()

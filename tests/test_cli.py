@@ -1,4 +1,4 @@
-"""End-to-end CLI surface tests: build → query → evaluate → curate.
+"""End-to-end CLI surface tests: build → query → evaluate → curate → prepare.
 
 Drives the cmd_* handlers with parsed args and the shared test session
 (``main()`` owns and stops its own session, which would kill the fixture's)."""
@@ -10,6 +10,7 @@ from search_engine_trec_fair_ranking_19_spark.__main__ import (
     cmd_build,
     cmd_curate,
     cmd_evaluate,
+    cmd_prepare,
     cmd_query,
 )
 
@@ -35,6 +36,7 @@ def _run(spark, capsys, argv):
         "query": cmd_query,
         "evaluate": cmd_evaluate,
         "curate": cmd_curate,
+        "prepare": cmd_prepare,
     }[args.cmd](spark, args)
     assert rc == 0
     return capsys.readouterr().out.strip().splitlines()
@@ -119,3 +121,36 @@ def test_cli_query_window_and_models(spark, tmp_path, capsys):
             ["query", "--index", index, "spark shuffle partition", "--model", model],
         )
         assert any("doc00000002" in line for line in out)
+
+
+def test_cli_prepare(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs.parquet")
+    ev = str(tmp_path / "eval.parquet")
+    out_dir = str(tmp_path / "train_set")
+    _write_docs(spark, docs)
+    # eval set contains doc 2's distinctive span -> doc 2 must be dropped
+    spark.createDataFrame(
+        [(9, "context spark shuffle partition exchange stage task context")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(ev)
+    out = _run(
+        spark, capsys,
+        [
+            "prepare", "--input", docs, "--out", out_dir,
+            "--eval", ev, "--decontaminate-n", "6",
+            "--split", "train=0.5,val=0.5",
+            "--max-len", "8", "--overlap", "2",
+            "--min-quality", "0.3", "--near-dup-threshold", "0.7",
+        ],
+    )
+    res = json.loads(out[-1])
+    assert res["out"] == out_dir and res["splits"]
+    back = spark.read.parquet(out_dir)
+    kept = {r["doc_id"] for r in back.select("doc_id").distinct().collect()}
+    # 4 is an exact dup of 1; 2 is decontaminated away
+    assert kept == {1, 3}
+    assert set(back.columns) == {
+        "doc_id", "source", "split", "chunk_id", "n_tokens", "chunk"
+    }
+    # no source column in the input and no url -> constant source
+    assert {r["source"] for r in back.collect()} == {"all"}
