@@ -52,6 +52,26 @@ def _load_input(spark: SparkSession, path: str):
     )
 
 
+def _ensure_doc_id(docs, path: str):
+    """(docs_with_doc_id, synthetic): webtext inputs get the same
+    deterministic id the index build assigns (row_number over url) so
+    downstream decisions are joinable to it; a frame with neither column
+    is a usage error."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if "doc_id" in docs.columns:
+        return docs, False
+    if "url" not in docs.columns:
+        raise SystemExit(
+            f"input {path} needs a doc_id or url column; got {docs.columns}"
+        )
+    return (
+        docs.withColumn("doc_id", F.row_number().over(Window.orderBy("url"))),
+        True,
+    )
+
+
 def _config(args) -> EngineConfig:
     kw = {}
     if getattr(args, "no_stemmer", False):
@@ -132,23 +152,11 @@ def cmd_evaluate(spark: SparkSession, args) -> int:
 
 def cmd_curate(spark: SparkSession, args) -> int:
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from .operators.curate import curation_decisions
 
-    docs = spark.read.parquet(args.input)
-    id_col, synthetic_id = "doc_id", False
-    if "doc_id" not in docs.columns:
-        if "url" not in docs.columns:
-            raise SystemExit(
-                f"input {args.input} needs a doc_id or url column; got {docs.columns}"
-            )
-        # webtext shape: derive the same deterministic id the index build
-        # assigns (row_number over url) so decisions are joinable to it
-        docs = docs.withColumn(
-            "doc_id", F.row_number().over(Window.orderBy("url"))
-        )
-        synthetic_id = True
+    docs, synthetic_id = _ensure_doc_id(spark.read.parquet(args.input), args.input)
+    id_col = "doc_id"
     kw = dict(
         langs=tuple(args.langs.split(",")),
         min_quality=args.min_quality,
@@ -189,31 +197,28 @@ def _parse_split(spec: str) -> dict:
     out = {}
     for part in spec.split(","):
         name, _, w = part.partition("=")
-        if not name or not w:
-            raise SystemExit(f"bad --split spec {spec!r}; want name=w,name=w")
-        out[name] = float(w)
+        try:
+            weight = float(w)
+        except ValueError:
+            weight = -1.0
+        if not name or not w or weight <= 0:
+            raise SystemExit(
+                f"bad --split spec {spec!r}; want name=w,name=w with w > 0"
+            )
+        out[name] = weight
     return out
 
 
 def cmd_prepare(spark: SparkSession, args) -> int:
     """Raw corpus → partitioned training chunks: the whole
-    curate → decontaminate → redact → cap → split → chunk composition
+    decontaminate → curate → redact → cap → split → chunk composition
     (`curate.prepare_training_set`) as one command."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from .functions.urls import url_host
     from .operators.curate import prepare_training_set, write_training_set
 
-    docs = spark.read.parquet(args.input)
-    if "doc_id" not in docs.columns:
-        if "url" not in docs.columns:
-            raise SystemExit(
-                f"input {args.input} needs a doc_id or url column; got {docs.columns}"
-            )
-        docs = docs.withColumn(
-            "doc_id", F.row_number().over(Window.orderBy("url"))
-        )
+    docs, _ = _ensure_doc_id(spark.read.parquet(args.input), args.input)
     if "source" not in docs.columns:
         # webtext shape: the per-source diversity cap groups by host
         docs = docs.withColumn(

@@ -1950,7 +1950,7 @@ n AS (SELECT doc_id, url, lower(pre) || substr(u0, length(pre) + 1) AS u1 FROM p
 q AS (
   SELECT doc_id, url, u1,
          regexp_extract(u1, '^([^?#]*)', 1) AS base,
-         regexp_extract(u1, '\?([^#]*)', 1) AS query,
+         regexp_extract(u1, '^[^?#]*\?([^#]*)', 1) AS query,
          regexp_extract(u1, '(#.*)$', 1) AS tail
   FROM n
 ),
@@ -1973,7 +1973,8 @@ FROM f
 ORACLE_SQL["repetition_signals"] = r"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+         list_filter(list_transform(string_split(text, chr(10)),
+                     x -> regexp_replace(x, '^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$', '', 'g')),
                      x -> x <> '') AS lines,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS toks

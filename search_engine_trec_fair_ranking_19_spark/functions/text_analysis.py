@@ -113,9 +113,17 @@ def quality_score(text: Column) -> Column:
 
 
 def _lines(text: Column) -> Column:
-    """Trimmed non-empty lines."""
+    """Whitespace-stripped non-empty lines. The strip is an explicit char
+    class (space/tab/CR/FF/VT), not `trim` — `trim` is space-only, which
+    leaves the trailing `\\r` of every CRLF line and makes the last line
+    of a page never match its duplicates; the explicit class keeps the
+    Spark and DuckDB derivations byte-identical."""
+    ws = r"^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$"
     return F.filter(
-        F.transform(F.split(text, r"\n"), F.trim), lambda x: x != ""
+        F.transform(
+            F.split(text, r"\n"), lambda x: F.regexp_replace(x, ws, "")
+        ),
+        lambda x: x != "",
     )
 
 

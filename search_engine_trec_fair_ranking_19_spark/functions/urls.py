@@ -44,7 +44,10 @@ def strip_tracking_params(url: Column) -> Column:
     ORDER — reordering would merge genuinely different cache keys."""
     base = F.regexp_extract(url, r"^([^?#]*)", 1)
     tail = F.regexp_extract(url, r"(#.*)$", 1)  # keep any fragment intact
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchored so the matched '?' must precede any '#' — an unanchored
+    # \?([^#]*) would match a '?' INSIDE the fragment and fabricate a
+    # top-level query from fragment content
+    query = F.regexp_extract(url, r"^[^?#]*\?([^#]*)", 1)
     kept = F.filter(
         F.split(query, "&"),
         lambda p: ~p.rlike(TRACKING_PARAM_RE),

@@ -163,23 +163,28 @@ def prepare_training_set(
     source_col: str = "source",
     eval_df: DataFrame | None = None,
     decontaminate_n: int = 13,
+    eval_text_col: str = "text",
     redact: bool = False,
     **curate_kwargs,
 ) -> DataFrame:
     """The whole raw-crawl → training-chunks pipeline as one frame:
-    curation (lang → quality → exact dedup → near-dup CC) → benchmark
-    decontamination (when ``eval_df`` is given: docs sharing any
-    ``decontaminate_n``-gram with the eval set are dropped) → PII
+    benchmark decontamination (when ``eval_df`` is given: docs sharing
+    any ``decontaminate_n``-gram with the eval set are dropped) →
+    curation (lang → quality → exact dedup → near-dup CC) → PII
     redaction (when ``redact``) → per-source diversity cap → DOC-LEVEL
     train/val split → context-length chunking. Output: one row per
     training chunk — ``(doc_id, source, split, chunk_id, n_tokens,
     chunk)``.
 
-    Decontamination runs on CURATION SURVIVORS ONLY (cheap filters first;
-    the n-gram probe is the most expensive map stage) but BEFORE the cap,
-    so a contaminated page can never occupy a capped slot. Redaction runs
-    before chunking so placeholder tokens count toward chunk geometry
-    exactly like the text they replaced.
+    Decontamination runs FIRST, on the raw corpus: one extra map pass
+    (shingle-hash + broadcast probe) over raw rows, instead of feeding
+    the full curation lineage to both sides of an anti join — which
+    Spark would evaluate twice, there being no cross-join-side subplan
+    sharing. Contaminated pages therefore never occupy a capped slot,
+    and exact dups of a contaminated page cannot be resurrected as
+    canonicals (identical text ⇒ identical shingles ⇒ also dropped).
+    Redaction runs before chunking so placeholder tokens count toward
+    chunk geometry exactly like the text they replaced.
 
     The split is assigned to the DOCUMENT, before chunking: overlapping
     chunks of one page are near-duplicates of each other by construction,
@@ -196,6 +201,17 @@ def prepare_training_set(
     from ..functions.chunking import chunk_tokens
     from ..functions.sampling import deterministic_split
 
+    if eval_df is not None:
+        from .decontaminate import decontaminate
+
+        df = decontaminate(
+            df,
+            eval_df,
+            n=decontaminate_n,
+            id_col=id_col,
+            text_col=text_col,
+            eval_text_col=eval_text_col,
+        )
     sid = F.col(id_col).cast("long")
     decisions = curation_decisions(
         df, id_col=id_col, text_col=text_col, **curate_kwargs
@@ -206,18 +222,6 @@ def prepare_training_set(
     base = df.select(
         sid.alias("doc_id"), F.col(source_col), F.col(text_col).alias("text")
     ).join(kept, "doc_id")
-    if eval_df is not None:
-        from .decontaminate import contamination_hits, eval_ngram_hashes
-
-        hits = contamination_hits(
-            base,
-            eval_ngram_hashes(eval_df, n=decontaminate_n, text_col=text_col),
-            n=decontaminate_n,
-            text_col="text",
-        )
-        base = base.join(
-            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
-        )
     if redact:
         from ..functions.redact import redact_pii
 

@@ -39,20 +39,22 @@ from .dedup import _hashed_shingles
 def eval_ngram_hashes(
     eval_df: DataFrame,
     n: int = 13,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """The eval side's distinct n-gram hash set: one column ``h`` (long).
 
     Materialize this once per benchmark suite and reuse it across every
     training-corpus build — it is the small, slowly-changing dimension of
-    the decontamination join."""
+    the decontamination join. Only ``text_col`` is required: the doc
+    identity of an eval row never matters, so any (text, ...) frame —
+    webtext-shaped or id-less — works as-is."""
     # explode_outer, then drop nulls on the CHEAP h column: plain explode
     # makes the optimizer push a `size(hs) > 0` filter below the Generate,
     # which re-evaluates the whole tokenize+hash expression tree once in
     # the Filter and again in the Project — doubling per-row work
+    keyed = eval_df.select(F.lit(0).alias("__eid"), F.col(text_col))
     return (
-        _hashed_shingles(eval_df, id_col, text_col, n)
+        _hashed_shingles(keyed, "__eid", text_col, n)
         .select(F.explode_outer("hs").alias("h"))
         .filter(F.col("h").isNotNull())
         .distinct()
@@ -89,6 +91,7 @@ def decontaminate(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eval_text_col: str = "text",
 ) -> DataFrame:
     """Training rows minus docs with ≥ ``min_hits`` distinct n-grams in
     common with ``eval_df``. ``min_hits`` > 1 tolerates incidental
@@ -98,16 +101,17 @@ def decontaminate(
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
     hits = contamination_hits(
         train_df,
-        eval_ngram_hashes(eval_df, n=n, id_col=id_col, text_col=text_col),
+        eval_ngram_hashes(eval_df, n=n, text_col=eval_text_col),
         n=n,
         id_col=id_col,
         text_col=text_col,
     ).filter(F.col("n_hits") >= min_hits)
-    sid = F.col(id_col).cast("long")
     # contaminated-id set is small by construction -> broadcast anti join:
-    # the corpus never shuffles at any step of this operator
+    # the corpus never shuffles at any step of this operator. Join on the
+    # RAW id (contamination_hits preserves its type): casting would NULL
+    # out string ids and silently keep every contaminated doc
     return train_df.join(
         F.broadcast(hits.select(F.col("doc_id").alias("__cid"))),
-        sid == F.col("__cid"),
+        F.col(id_col) == F.col("__cid"),
         "left_anti",
     )

@@ -128,10 +128,11 @@ def test_cli_prepare(spark, tmp_path, capsys):
     ev = str(tmp_path / "eval.parquet")
     out_dir = str(tmp_path / "train_set")
     _write_docs(spark, docs)
-    # eval set contains doc 2's distinctive span -> doc 2 must be dropped
+    # eval set contains doc 2's distinctive span -> doc 2 must be dropped;
+    # webtext-shaped (url, text) with NO doc_id: the eval side never needs one
     spark.createDataFrame(
-        [(9, "context spark shuffle partition exchange stage task context")],
-        "doc_id long, text string",
+        [("http://b.org/q", "context spark shuffle partition exchange stage task context")],
+        "url string, text string",
     ).write.mode("overwrite").parquet(ev)
     out = _run(
         spark, capsys,

@@ -105,3 +105,17 @@ def test_plan_probes_broadcast_and_never_shuffles_corpus(spark):
     for line in plan.splitlines():
         if line.strip().startswith("+- Filter") or line.strip().startswith(":- Filter"):
             assert "xxhash64" not in line, line
+
+
+def test_decontaminate_string_ids(spark):
+    # regression: a cast-to-long on the anti-join key NULLed string ids and
+    # silently kept every contaminated doc
+    schema = "doc_id string, text string"
+    train = spark.createDataFrame(
+        [(f"doc{d:08d}", t) for d, t in _TRAIN], schema
+    )
+    ev = spark.createDataFrame(
+        [(f"ev{d}", t) for d, t in _EVAL], schema
+    )
+    kept = {r["doc_id"] for r in dc.decontaminate(train, ev, n=_N).collect()}
+    assert kept == {"doc00000002", "doc00000004"}

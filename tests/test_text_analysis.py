@@ -81,6 +81,8 @@ def test_repetition_signals_hand_computed(spark):
             # shorter than n tokens -> zero ngrams, ratio 0
             (4, "tiny doc"),
             ("5", ""),  # empty text -> all ratios 0
+            # CRLF page: the \r-edged first line must match its duplicate
+            ("6", "menu home\r\nmenu home"),
         ],
         "id string, text string",
     )
@@ -112,6 +114,7 @@ def test_repetition_signals_hand_computed(spark):
         ("3", "spam spam spam spam"),
         ("4", "tiny doc"),
         ("5", ""),
+        ("6", "menu home\r\nmenu home"),
     ]:
         dl, dw, dn = py_ref(text)
         assert abs(rows[rid]["dl"] - dl) < 1e-12, (rid, "line")

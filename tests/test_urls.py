@@ -34,6 +34,8 @@ def test_strip_tracking_params(spark):
             "https://a.com/p?id=7",
             "https://a.com/p",
             "https://a.com/p?fbclid=abc#frag",
+            # '?' INSIDE the fragment is not a query
+            "https://a.com/p#sec?keep=1",
         ],
         urls.strip_tracking_params(F.col("url")),
     )
@@ -43,6 +45,7 @@ def test_strip_tracking_params(spark):
         "https://a.com/p?id=7",
         "https://a.com/p",
         "https://a.com/p#frag",
+        "https://a.com/p#sec?keep=1",
     ]
 
 

@@ -240,7 +240,7 @@ def _hw_window() -> dict:
     }
 
 
-def orchestrate(n_docs: int, pairs: int) -> None:
+def orchestrate(n_docs: int, pairs: int, out_path: "str | None" = None) -> None:
     corpus_path = _gen_corpus(n_docs)
     warmup_path = _gen_corpus(20000)
     low, high = CORES_PER_EXECUTOR, CORES_PER_EXECUTOR * 4
@@ -343,7 +343,9 @@ def orchestrate(n_docs: int, pairs: int) -> None:
     print(json.dumps(summary, indent=1))
     os.makedirs("BENCH", exist_ok=True)
     suffix = "" if CORES_PER_EXECUTOR == 4 else f"_{CORES_PER_EXECUTOR}c"
-    with open(f"BENCH/cluster_scaling{suffix}.json", "w") as f:
+    # --out protects curated records (e.g. the 500k headline) from being
+    # clobbered by exploratory runs at other scales
+    with open(out_path or f"BENCH/cluster_scaling{suffix}.json", "w") as f:
         json.dump(summary, f, indent=1)
 
 
@@ -351,5 +353,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=500_000)
     ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--out", default=None, help="output JSON path")
     args = ap.parse_args()
-    orchestrate(args.docs, args.pairs)
+    orchestrate(args.docs, args.pairs, args.out)
