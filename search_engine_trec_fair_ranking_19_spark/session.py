@@ -45,6 +45,20 @@ def local_rows_df(spark: SparkSession, rows, schema):
     )
 
 
+def _default_master(cpus: str) -> str:
+    """Master to use when the caller passed none.
+
+    Under spark-submit, PythonRunner pre-launches the gateway JVM and
+    exports PYSPARK_GATEWAY_PORT (pyspark/java_gateway.py reads it; nothing
+    sets it on a self-launched gateway). spark-submit's --master is already
+    in that JVM's conf, so return "" (set no master) — setting
+    builder.master here would silently override the cluster with local
+    mode. Anywhere else: local[$SPARK_GRAFT_CPUS], the driver contract."""
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        return ""
+    return f"local[{cpus}]"
+
+
 def get_spark(
     app_name: str = "themis-spark",
     master: str | None = None,
@@ -60,7 +74,7 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
-        master = f"local[{cpus}]"
+        master = _default_master(cpus)
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 32)
     # execution memory scales with concurrent tasks: a fixed small heap makes
@@ -72,9 +86,11 @@ def get_spark(
     else:
         n_threads = 8  # cluster mode: executor memory is spark-submit's job
     default_mem = f"{min(max(8, round(n_threads * 1.5)), 64)}g"
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -155,3 +155,14 @@ def test_cli_prepare(spark, tmp_path, capsys):
     }
     # no source column in the input and no url -> constant source
     assert {r["source"] for r in back.collect()} == {"all"}
+
+
+def test_default_master_respects_spark_submit(monkeypatch):
+    # under spark-submit, PythonRunner exports PYSPARK_GATEWAY_PORT and owns
+    # --master; get_spark must not override the cluster with local mode
+    from search_engine_trec_fair_ranking_19_spark import session
+
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+    assert session._default_master("8") == "local[8]"
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "45123")
+    assert session._default_master("8") == ""
