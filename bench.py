@@ -46,6 +46,9 @@ Stages timed:
   * curate_corpus      — composed curation pipeline (lang → quality →
                          exact dedup → near-dup clusters over the
                          MinHash-LSH pair set)
+  * prepare_training_set — the whole raw-crawl → training-chunks
+                         composition: decontaminate (1%-of-corpus eval
+                         set) → curate → redact → cap → split → chunk
   * ann_brute_force    — exact cosine scan
   * text_quality_scan  — language-ID + quality scan
 """
@@ -364,6 +367,33 @@ def main() -> None:
             ),
             # many short stages (semi-joins, window, driver-CC collect):
             # scheduler/GC jitter on a cold first run trips the spread gate
+            warmup=True,
+        )
+
+        # the full raw-crawl -> training-chunks composition (gate
+        # `training_chunks` geometry + the production extras: benchmark
+        # decontamination against a 1%-of-corpus eval set, PII redaction)
+        bench_eval_df = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+        runner.run(
+            "prepare_training_set",
+            lambda: _timed(
+                lambda: curate.prepare_training_set(
+                    docs,
+                    cap_per_source=10,
+                    split_weights={"train": 0.9, "val": 0.1},
+                    max_len=40,
+                    overlap=8,
+                    eval_df=bench_eval_df,
+                    redact=True,
+                    langs=("en",),
+                    min_quality=0.5,
+                    shingle_n=2,
+                    near_dup_threshold=0.1,
+                )
+                .groupBy("split")
+                .count()
+                .collect()
+            ),
             warmup=True,
         )
     finally:
