@@ -387,8 +387,13 @@ def main() -> None:
                     redact=True,
                     langs=("en",),
                     min_quality=0.5,
-                    shingle_n=2,
-                    near_dup_threshold=0.1,
+                    # the scale path: MinHash-LSH candidate pairs, same as
+                    # the curate_corpus stage (default = the exact
+                    # quadratic baseline, which is the GATE's job, not the
+                    # bench's - it measured 8x the whole composition)
+                    pairs=dedup.minhash_dedup_pairs(
+                        docs, num_hashes=64, num_bands=16, threshold=0.5
+                    ),
                 )
                 .groupBy("split")
                 .count()
