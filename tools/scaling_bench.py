@@ -458,7 +458,10 @@ def run_split(
 
 
 def orchestrate(
-    n_docs: int, splits: list[tuple[int, int, int]], pairs: int
+    n_docs: int,
+    splits: list[tuple[int, int, int]],
+    pairs: int,
+    out_path: "str | None" = None,
 ) -> None:
     # all arms share one JVM; pin its heap once (identical memory per arm
     # — on a real cluster 4N executors get 4x aggregate memory, so equal
@@ -483,10 +486,14 @@ def orchestrate(
     print(json.dumps(summary, indent=1))
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling_bench.json", "w") as f:
+    # --out protects the curated records: BENCH/scaling_bench.json holds
+    # the criterion pairs and BENCH/BASELINE.md has been hand-extended far
+    # beyond the generated template — exploratory runs must clobber neither
+    with open(out_path or "BENCH/scaling_bench.json", "w") as f:
         json.dump(summary, f, indent=1)
-    write_baseline_md(summary)
-    print("wrote BENCH/BASELINE.md")
+    if not out_path:
+        write_baseline_md(summary)
+        print("wrote BENCH/BASELINE.md")
 
 
 def write_baseline_md(s: dict) -> None:
@@ -614,6 +621,11 @@ if __name__ == "__main__":
         help="comma-separated low:high[:healthy-pairs] core splits",
     )
     ap.add_argument("--pairs", type=int, default=2, help="default per split")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="output JSON path (exploratory runs; also skips BASELINE.md)",
+    )
     args = ap.parse_args()
     split_list = []
     for x in args.splits.split(","):
@@ -621,4 +633,4 @@ if __name__ == "__main__":
         split_list.append(
             (parts[0], parts[1], parts[2] if len(parts) > 2 else args.pairs)
         )
-    orchestrate(args.docs, split_list, args.pairs)
+    orchestrate(args.docs, split_list, args.pairs, args.out)
