@@ -240,6 +240,23 @@ def cmd_prepare(spark: SparkSession, args) -> int:
         shingle_n=args.shingle_n,
         near_dup_threshold=args.near_dup_threshold,
     )
+    if args.token_budget is not None:
+        from .functions.sampling import take_token_budget
+
+        # the budget caps TRAIN tokens; the val split is held-out evidence
+        # and stays intact. Chunk identity (doc_id, chunk_id) flattens to
+        # one key column for the md5-prefix selection — membership stays a
+        # pure function of the data, reproducible at any cluster size.
+        train = (
+            chunks.filter(F.col("split") == "train")
+            .withColumn(
+                "__ck", F.concat_ws(":", F.col("doc_id"), F.col("chunk_id"))
+            )
+        )
+        train = take_token_budget(
+            train, args.token_budget, "n_tokens", key_col="__ck"
+        ).drop("__ck")
+        chunks = train.unionByName(chunks.filter(F.col("split") != "train"))
     write_training_set(chunks, args.out)
     back = spark.read.parquet(args.out)
     per_split = {
@@ -307,6 +324,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--decontaminate-n", type=int, default=13)
     t.add_argument("--redact", action="store_true", help="mask emails/IPs/phones")
     t.add_argument("--cap-per-source", type=int, default=None)
+    t.add_argument(
+        "--token-budget",
+        type=int,
+        default=None,
+        help="cap TRAIN tokens: keep a deterministic md5-prefix of chunks "
+        "summing to at most this many tokens (val is untouched)",
+    )
     t.add_argument("--split", default="train=0.9,val=0.1")
     t.add_argument("--max-len", type=int, default=512)
     t.add_argument("--overlap", type=int, default=0)

@@ -166,3 +166,42 @@ def test_default_master_respects_spark_submit(monkeypatch):
     assert session._default_master("8") == "local[8]"
     monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "45123")
     assert session._default_master("8") == ""
+
+
+def test_cli_prepare_token_budget(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs.parquet")
+    out_dir = str(tmp_path / "budget_set")
+    _write_docs(spark, docs)
+    full = _run(
+        spark, capsys,
+        [
+            "prepare", "--input", docs, "--out", out_dir,
+            "--split", "train=1.0", "--max-len", "8",
+            "--min-quality", "0.3", "--near-dup-threshold", "0.7",
+        ],
+    )
+    total = json.loads(full[-1])["splits"]["train"]["tokens"]
+    budget = total // 2
+    capped = _run(
+        spark, capsys,
+        [
+            "prepare", "--input", docs, "--out", out_dir,
+            "--split", "train=1.0", "--max-len", "8",
+            "--min-quality", "0.3", "--near-dup-threshold", "0.7",
+            "--token-budget", str(budget),
+        ],
+    )
+    kept = json.loads(capped[-1])["splits"]["train"]["tokens"]
+    # a deterministic md5-prefix of chunks summing to <= budget, < full
+    assert 0 < kept <= budget < total
+    # rerun reproduces the identical subset (pure function of the data)
+    rerun = _run(
+        spark, capsys,
+        [
+            "prepare", "--input", docs, "--out", out_dir,
+            "--split", "train=1.0", "--max-len", "8",
+            "--min-quality", "0.3", "--near-dup-threshold", "0.7",
+            "--token-budget", str(budget),
+        ],
+    )
+    assert json.loads(rerun[-1]) == json.loads(capped[-1])
