@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 from pyspark.sql import SparkSession
@@ -201,9 +202,12 @@ def _parse_split(spec: str) -> dict:
             weight = float(w)
         except ValueError:
             weight = -1.0
-        if not name or not w or weight <= 0:
+        # isfinite: nan/inf parse as floats and pass a bare > 0 check, then
+        # crash deep in split_column's cumulative-cut arithmetic instead of
+        # failing here with a usable message
+        if not name or not w or not math.isfinite(weight) or weight <= 0:
             raise SystemExit(
-                f"bad --split spec {spec!r}; want name=w,name=w with w > 0"
+                f"bad --split spec {spec!r}; want name=w,name=w with finite w > 0"
             )
         out[name] = weight
     return out
@@ -247,6 +251,16 @@ def cmd_prepare(spark: SparkSession, args) -> int:
         # and stays intact. Chunk identity (doc_id, chunk_id) flattens to
         # one key column for the md5-prefix selection — membership stays a
         # pure function of the data, reproducible at any cluster size.
+        if "train" not in _parse_split(args.split):
+            raise SystemExit(
+                "--token-budget caps the 'train' split, but --split "
+                f"{args.split!r} defines no split named 'train'"
+            )
+        # the budget pass is 2 extra actions (histogram collect + the
+        # union's branches at write): persist the chunk frame so the
+        # pipeline upstream of it (contamination probe, near-dup CC)
+        # computes once, not once per action
+        chunks = chunks.persist()
         train = (
             chunks.filter(F.col("split") == "train")
             .withColumn(

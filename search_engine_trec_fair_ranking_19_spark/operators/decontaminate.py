@@ -106,12 +106,23 @@ def decontaminate(
         id_col=id_col,
         text_col=text_col,
     ).filter(F.col("n_hits") >= min_hits)
-    # contaminated-id set is small by construction -> broadcast anti join:
-    # the corpus never shuffles at any step of this operator. Join on the
-    # RAW id (contamination_hits preserves its type): casting would NULL
-    # out string ids and silently keep every contaminated doc
+    # The contaminated-id set is small by construction (it fits a
+    # broadcast), so COLLECT it and anti-join a local relation. This makes
+    # the operator eager on purpose: the probe (shingle-hash of every
+    # training row) runs exactly once, in this job, and the returned
+    # frame's plan contains a LocalTableScan instead of the probe subtree
+    # — downstream pipelines that reference the decontaminated frame in
+    # several places (prepare_training_set feeds it to both the decision
+    # frame and the base join; Spark plans no exchange reuse across those
+    # subtrees) would otherwise re-run the probe once per subtree per
+    # action. Join on the RAW id (collect preserves its type): casting
+    # would NULL out string ids and silently keep every contaminated doc.
+    contaminated = [r["doc_id"] for r in hits.collect()]
+    spark = train_df.sparkSession
+    id_type = train_df.schema[id_col].dataType.simpleString()
+    cid = spark.createDataFrame(
+        [(v,) for v in contaminated], f"__cid {id_type}"
+    )
     return train_df.join(
-        F.broadcast(hits.select(F.col("doc_id").alias("__cid"))),
-        F.col(id_col) == F.col("__cid"),
-        "left_anti",
+        F.broadcast(cid), F.col(id_col) == F.col("__cid"), "left_anti"
     )
