@@ -120,6 +120,7 @@ def cmd_query(spark: SparkSession, args) -> int:
         "wand": q.bm25_topk_wand,
         "vsm": q.vsm_topk,
         "existential": q.existential,
+        "and": q.conjunctive,
     }[args.model]
     topk = runner(spark, tables, args.text, k=args.k)
     if args.start > 1 or args.end:
@@ -302,7 +303,11 @@ def build_parser() -> argparse.ArgumentParser:
     qp = sub.add_parser("query", help="run one query against an index")
     qp.add_argument("--index", required=True)
     qp.add_argument("text")
-    qp.add_argument("--model", choices=["bm25", "wand", "vsm", "existential"], default="bm25")
+    qp.add_argument(
+        "--model",
+        choices=["bm25", "wand", "vsm", "existential", "and"],
+        default="bm25",
+    )
     qp.add_argument("--k", type=int, default=10)
     qp.add_argument("--start", type=int, default=1, help="result window start, 1-based (O5)")
     qp.add_argument("--end", type=int, default=0, help="result window end")

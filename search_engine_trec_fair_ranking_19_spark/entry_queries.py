@@ -250,6 +250,7 @@ _Q2 = ["spark", "shuffle", "partition"]
 _Q3 = ["table", "row", "doesnotexistxyz"]
 _VSM_Q = ["query", "data", "table"]
 _EX_Q = ["window", "batch"]
+_AND_Q = ["window", "batch", "table"]  # nonempty 3-way intersection at sf0.01
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +317,16 @@ def q_vsm_batch(spark, sf_dir):
 def q_existential(spark, sf_dir):
     t = gate_index(spark, sf_dir)
     return q.existential(spark, t, " ".join(_EX_Q)).select("docid", "score")
+
+
+def q_boolean_and(spark, sf_dir):
+    """Boolean AND (conjunctive) retrieval: docs containing EVERY query term
+    (the intersection the reference's "Boolean model" never implemented —
+    `Existential.java:14-18` is OR-only). One term-pruned scan + one
+    count-distinct shuffle; the oracle recomputes the intersection with a
+    HAVING over the exploded TF relation."""
+    t = gate_index(spark, sf_dir)
+    return q.conjunctive(spark, t, " ".join(_AND_Q)).select("docid", "score")
 
 
 def q_doc_ids(spark, sf_dir):
@@ -1075,6 +1086,7 @@ QUERIES = {
     "vsm_topk": q_vsm_topk,
     "vsm_batch_topk": q_vsm_batch,
     "existential": q_existential,
+    "boolean_and": q_boolean_and,
     "doc_ids": q_doc_ids,
     "vocabulary": q_vocabulary,
     "doc_stats": q_doc_stats,
@@ -1185,6 +1197,13 @@ ORACLE_SQL = {
 WITH {_BASE_CTES}
 SELECT DISTINCT docid, 1.0::DOUBLE AS score FROM tf
 WHERE term IN ({", ".join(f"'{t}'" for t in _EX_Q)})
+""",
+    "boolean_and": f"""
+WITH {_BASE_CTES}
+SELECT docid, 1.0::DOUBLE AS score FROM tf
+WHERE term IN ({", ".join(f"'{t}'" for t in _AND_Q)})
+GROUP BY docid
+HAVING count(DISTINCT term) = {len(_AND_Q)}
 """,
     "doc_ids": """
 SELECT row_number() OVER (ORDER BY doc_id) AS docid,

@@ -958,6 +958,42 @@ def existential(
     return _finalize(spark, tables, docs.select("docid", "raw"), k, 0.0)
 
 
+def conjunctive(
+    spark: SparkSession,
+    tables: IndexTables,
+    query: str,
+    k: int | None = None,
+    config: EngineConfig | None = None,
+) -> DataFrame:
+    """Boolean AND — docs containing EVERY distinct query term, score ≡ 1.0.
+
+    Extension: the reference brands a "Boolean model" but implements only the
+    OR half (`Existential.java:14-18`, SURVEY §2.7); this is the missing
+    intersection. An OOV term (DF=0) empties the result without touching the
+    cluster.
+
+    Plan: ONE term-pruned postings scan → decode → `groupBy(docid)` counting
+    distinct matched terms == n — a single shuffle with map-side partial agg.
+    The naive alternative (a k-way chain of per-term semi-joins) is k
+    shuffles of the same postings; at web scale the count-distinct agg also
+    lets AQE coalesce the reduce side, and the most selective term bounds the
+    output exactly as in the reference's heap-merge engines.
+    """
+    config = config or tables.config
+    pq = prepare_query(spark, tables, query, config)
+    terms = sorted({t for t, _ in pq.terms})
+    if not terms or any(df == 0 for df in pq.dfs):
+        return _local_df(spark, [], TOPK_SCHEMA)
+    docs = (
+        matched_postings(spark, tables, terms)
+        .groupBy("docid")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("docid", F.lit(1.0).alias("raw"))
+    )
+    return _finalize(spark, tables, docs, k, 0.0)
+
+
 def result_window(topk: DataFrame, start: int, end: int) -> DataFrame:
     """O5 — result page slice [start, end] (1-based, inclusive): the
     `Search.printResults` paging (`Search.java:330-361`). Applies to an

@@ -242,6 +242,22 @@ def existential(index: OracleIndex, query: str, k: int | None = None) -> list[tu
     return _finalize(index, scores, k, 0.0)
 
 
+def conjunctive(index: OracleIndex, query: str, k: int | None = None) -> list[tuple[int, float]]:
+    """Boolean AND (our extension — the reference implements only the OR half,
+    `Existential.java:14-18`): docs containing EVERY distinct query term,
+    score ≡ 1.0. An OOV term makes the intersection empty."""
+    cfg = index.config
+    terms = merge_terms(
+        [(t, 1.0) for t in analyze_query(query, cfg.use_stemmer, cfg.use_stopwords)]
+    )
+    if not terms:
+        return []
+    sets = [{d for d, _ in index.postings.get(t, [])} for t, _ in terms]
+    docids = set.intersection(*sets) if sets else set()
+    scores = {d: 1.0 for d in docids}
+    return _finalize(index, scores, k, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # PageRank (Pagerank.java:156-277)
 # ---------------------------------------------------------------------------

@@ -93,6 +93,31 @@ def test_existential_parity(spark, tables, oracle_index, query):
     _assert_matches(got, exp)
 
 
+@pytest.mark.parametrize(
+    "query",
+    [
+        "web search engine",   # common terms — nonempty intersection
+        "w19998 web",          # tail + head: tail term bounds the result
+        "the and of",          # stopword-only -> empty
+        "zzzznotfound web",    # OOV term -> empty intersection, zero jobs
+        "web web web search",  # duplicates collapse before the distinct count
+    ],
+)
+def test_conjunctive_parity(spark, tables, oracle_index, query):
+    exp = oracle.conjunctive(oracle_index, query)
+    got = q.conjunctive(spark, tables, query)
+    _assert_matches(got, exp)
+
+
+def test_conjunctive_subset_of_existential(spark, tables, oracle_index):
+    """AND ⊆ OR on the same query, and every AND doc holds every term."""
+    and_ids = {r["docid"] for r in q.conjunctive(spark, tables, "web page").collect()}
+    or_ids = {r["docid"] for r in q.existential(spark, tables, "web page").collect()}
+    assert and_ids and and_ids <= or_ids
+    exp = {d for d, _ in oracle.conjunctive(oracle_index, "web page")}
+    assert and_ids == exp
+
+
 @pytest.mark.parametrize("query", ["web search engine", "w00000", "page rank"])
 def test_bm25_pagerank_blend_parity(spark, tables, oracle_index, query):
     exp = oracle.bm25_topk(oracle_index, query, k=20, pagerank_weight=0.25)
