@@ -771,6 +771,19 @@ def q_chunk_tokens(spark, sf_dir):
     return chunking.chunk_tokens(docs, max_len=40, overlap=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing: every document's token stream
+    placed into fixed 32-token training sequences within 8 md5 buckets —
+    deterministic (md5-hex, key) concatenation order, one bucket-exchange
+    shuffle + streaming window, map-only piece generator. The oracle
+    recomputes the bucket, the exclusive per-bucket prefix sum, and every
+    piece slice independently in DuckDB."""
+    from .functions import chunking
+
+    docs = load_documents(spark, sf_dir)
+    return chunking.pack_sequences(docs, seq_len=32, n_buckets=8)
+
+
 def q_char_histogram(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return (
@@ -1112,6 +1125,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "take_token_budget": q_take_token_budget,
     "chunk_tokens": q_chunk_tokens,
+    "pack_sequences": q_pack_sequences,
     "mix_corpora": q_mix_corpora,
     "char_histogram": q_char_histogram,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
@@ -1356,6 +1370,33 @@ SELECT doc_id, i AS chunk_id,
        len(toks[i*32+1 : i*32+40]) AS n_tokens,
        array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk
 FROM c, unnest(generate_series(0, nc - 1)) AS g(i)
+""",
+    "pack_sequences": r"""
+WITH base AS (
+  SELECT doc_id,
+         md5(doc_id::VARCHAR) AS hkey,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::INT AS bucket,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT *, len(toks)::BIGINT AS n FROM base WHERE len(toks) > 0),
+offs AS (
+  SELECT *, coalesce(sum(n) OVER (
+           PARTITION BY bucket ORDER BY hkey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM nz
+),
+pieces AS (
+  SELECT doc_id, bucket, seq_id, off, n, toks,
+         greatest(0, seq_id*32 - off) AS ls,
+         least(n, (seq_id+1)*32 - off) AS le
+  FROM offs, unnest(generate_series((off//32)::BIGINT, ((off+n-1)//32)::BIGINT)) AS g(seq_id)
+)
+SELECT doc_id, bucket, seq_id,
+       (off + ls - seq_id*32)::INT AS pos_in_seq,
+       (le - ls)::INT AS n_tokens,
+       array_to_string(toks[ls+1 : le], ' ') AS piece
+FROM pieces
 """,
     "char_histogram": """
 SELECT ch, count(*) AS n

@@ -18,9 +18,10 @@ downstream (chunk keys concatenate cleanly with the md5 machinery in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .sampling import hash_bucket
 from .text_analysis import ws_tokens
 
 
@@ -93,4 +94,96 @@ def chunk_tokens(
             F.size("__chunk_toks").alias("n_tokens"),
             F.array_join("__chunk_toks", " ").alias("chunk"),
         )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-split sequence packing: the token streams of all documents,
+    concatenated in a deterministic order, cut into fixed ``seq_len`` windows
+    — the step that turns variable-length curated documents into the
+    constant-shape training sequences an LLM data loader consumes, with zero
+    padding anywhere but each bucket's final sequence.
+
+    One row per (document, sequence) intersection:
+    ``(id_col, bucket, seq_id, pos_in_seq, n_tokens, piece)`` — ``seq_id`` is
+    bucket-local, ``pos_in_seq`` is the piece's token offset inside its
+    sequence, and concatenating a sequence's pieces in ``pos_in_seq`` order
+    yields exactly ``seq_len`` tokens (every bucket's last sequence may be
+    short). A document longer than ``seq_len`` simply spans several
+    sequences; nothing is ever dropped or duplicated.
+
+    Determinism and scale share one mechanism: documents are routed to
+    ``n_buckets`` md5 buckets (`sampling.hash_bucket` — bit-identical in
+    Spark/DuckDB/Python) and concatenated in (md5-hex, key) order WITHIN each
+    bucket, so the packing is a pure function of (keys, texts, seq_len,
+    n_buckets) — independent of partition layout and cluster size — while
+    the only exchange is the bucket hash-partition. The per-bucket running
+    offset is a streaming window over the bucket's sort (Spark's external
+    sort spills; no bucket ever needs to fit in memory), and the
+    piece arithmetic after it (`sequence` → `explode` → `slice`) is the same
+    map-only codegen generator as `chunk_tokens`. A global ORDER BY — the
+    naive way to make packing deterministic — would be one serial sort of
+    the corpus; buckets make it ``n_buckets``-way parallel, and sequence
+    identity stays stable because ids are (bucket, seq_id) pairs.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    key = F.col(id_col)
+    base = (
+        df.select(
+            key,
+            ws_tokens(F.col(text_col)).alias("__toks"),
+            F.md5(key.cast("string")).alias("__hkey"),
+            hash_bucket(key, n_buckets).cast("int").alias("bucket"),
+        )
+        .withColumn("__n", F.size("__toks").cast("long"))
+        .filter(F.col("__n") > 0)
+    )
+    # exclusive per-bucket prefix sum = this doc's offset in the bucket's
+    # concatenated token stream
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__hkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("__n").over(w), F.lit(0))
+    placed = base.withColumn("__off", off)
+    first_seq = F.floor(F.col("__off") / seq_len)
+    last_seq = F.floor((F.col("__off") + F.col("__n") - 1) / seq_len)
+    exploded = placed.select(
+        id_col,
+        "bucket",
+        "__toks",
+        "__n",
+        "__off",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    local_start = F.greatest(
+        F.lit(0).cast("long"), F.col("seq_id") * seq_len - F.col("__off")
+    )
+    local_end = F.least(
+        F.col("__n"), (F.col("seq_id") + 1) * seq_len - F.col("__off")
+    )
+    piece = F.slice(
+        F.col("__toks"),
+        (local_start + 1).cast("int"),
+        (local_end - local_start).cast("int"),
+    )
+    return exploded.select(
+        id_col,
+        "bucket",
+        F.col("seq_id"),
+        (F.col("__off") + local_start - F.col("seq_id") * seq_len)
+        .cast("int")
+        .alias("pos_in_seq"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("piece"),
     )
