@@ -771,6 +771,24 @@ def q_chunk_tokens(spark, sf_dir):
     return chunking.chunk_tokens(docs, max_len=40, overlap=8)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity (CCNet-style quality ranking,
+    zero external artifacts): fit interpolated bigram probabilities over the
+    corpus, then score every document's mean -log2 P(v|u). Fit = two
+    map-side-combined aggs; score = map-only bigram explode + two left
+    equi-joins + one avg. The oracle retrains the identical model in DuckDB
+    and re-derives every probability from counts."""
+    from .operators import lm_quality
+
+    docs = load_documents(spark, sf_dir)
+    model = lm_quality.fit_bigram_lm(docs)
+    return lm_quality.lm_score(docs, model).select(
+        "doc_id",
+        "n_transitions",
+        F.round("log2_ppl", 6).alias("log2_ppl"),
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-split sequence packing: every document's token stream
     placed into fixed 32-token training sequences within 8 md5 buckets —
@@ -1126,6 +1144,7 @@ QUERIES = {
     "take_token_budget": q_take_token_budget,
     "chunk_tokens": q_chunk_tokens,
     "pack_sequences": q_pack_sequences,
+    "lm_perplexity": q_lm_perplexity,
     "mix_corpora": q_mix_corpora,
     "char_histogram": q_char_histogram,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
@@ -1370,6 +1389,38 @@ SELECT doc_id, i AS chunk_id,
        len(toks[i*32+1 : i*32+40]) AS n_tokens,
        array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk
 FROM c, unnest(generate_series(0, nc - 1)) AS g(i)
+""",
+    "lm_perplexity": r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+),
+nz AS (SELECT * FROM tok WHERE len(toks) > 0),
+uni AS (
+  SELECT v, count(*) AS c_v
+  FROM (SELECT unnest(toks) AS v FROM nz) GROUP BY v
+),
+tot AS (SELECT sum(c_v)::DOUBLE AS t, count(*)::DOUBLE AS vs FROM uni),
+trans AS (
+  SELECT doc_id, toks[i] AS u, toks[i+1] AS v
+  FROM nz, unnest(generate_series(1, len(toks)-1)) AS g(i)
+),
+big AS (SELECT u, v, count(*) AS c_uv FROM trans GROUP BY u, v),
+bp AS (
+  SELECT b.u, b.v, b.c_uv / u2.c_v::DOUBLE AS p_big
+  FROM big b JOIN uni u2 ON b.u = u2.v
+),
+up AS (
+  SELECT v, (c_v + 1.0) / (t + 1.0 * vs) AS p_uni FROM uni, tot
+)
+SELECT doc_id, count(*) AS n_transitions,
+       round(avg(-log2(
+         0.7 * coalesce(p_big, 0.0)
+         + (1.0 - 0.7) * coalesce(p_uni, 1.0 / (t + 1.0 * vs))
+       )), 6) AS log2_ppl
+FROM trans LEFT JOIN bp USING (u, v) LEFT JOIN up USING (v), tot
+GROUP BY doc_id
 """,
     "pack_sequences": r"""
 WITH base AS (
