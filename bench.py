@@ -51,6 +51,10 @@ Stages timed:
                          set) → curate → redact → cap → split → chunk
   * ann_brute_force    — exact cosine scan
   * text_quality_scan  — language-ID + quality scan
+  * lm_perplexity      — corpus-trained bigram-LM fit + per-doc perplexity
+                         scoring (CCNet-style quality ranking)
+  * pack_sequences     — concat-and-split packing of every token stream
+                         into fixed-length training sequences
 """
 
 from __future__ import annotations
@@ -272,6 +276,9 @@ def main() -> None:
             t0 = time.time()
             q.existential(spark, tables, BM25_QUERIES[2]).count()
             out["existential"] = time.time() - t0
+            t0 = time.time()
+            q.conjunctive(spark, tables, BM25_QUERIES[3]).count()
+            out["conjunctive"] = time.time() - t0
             # the whole BM25 query set as ONE plan — compare against
             # sum(bm25_q*) to read the batch amortization directly; the
             # production WAND threshold lets the per-qid router decide
@@ -367,6 +374,39 @@ def main() -> None:
             ),
             # many short stages (semi-joins, window, driver-CC collect):
             # scheduler/GC jitter on a cold first run trips the spread gate
+            warmup=True,
+        )
+
+        # corpus-trained bigram-LM quality ranking: fit (two map-side-
+        # combined aggs) + score every document (bigram explode + two
+        # broadcast joins + avg) — the CCNet-shaped quality pass
+        from search_engine_trec_fair_ranking_19_spark.operators import (
+            lm_quality,
+        )
+
+        def _lm() -> float:
+            t0 = time.time()
+            model = lm_quality.fit_bigram_lm(docs)
+            lm_quality.lm_score(docs, model).agg(
+                F.count(F.lit(1)), F.avg("log2_ppl")
+            ).collect()
+            return time.time() - t0
+
+        runner.run("lm_perplexity", _lm, warmup=True)
+
+        # concat-and-split packing of every token stream into fixed-length
+        # training sequences (one bucket exchange + streaming window)
+        from search_engine_trec_fair_ranking_19_spark.functions import (
+            chunking,
+        )
+
+        runner.run(
+            "pack_sequences",
+            lambda: _timed(
+                lambda: chunking.pack_sequences(
+                    docs, seq_len=512, n_buckets=32
+                ).count()
+            ),
             warmup=True,
         )
 

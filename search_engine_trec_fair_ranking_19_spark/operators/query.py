@@ -973,11 +973,14 @@ def conjunctive(
     cluster.
 
     Plan: ONE term-pruned postings scan → decode → `groupBy(docid)` counting
-    distinct matched terms == n — a single shuffle with map-side partial agg.
-    The naive alternative (a k-way chain of per-term semi-joins) is k
-    shuffles of the same postings; at web scale the count-distinct agg also
-    lets AQE coalesce the reduce side, and the most selective term bounds the
-    output exactly as in the reference's heap-merge engines.
+    matched terms == n — a single shuffle with map-side partial agg. A plain
+    `count` suffices because (term, docid) is unique by postings
+    construction (A4 aggregates per term; the query's term set is deduped),
+    and `count_distinct` here would compile to TWO exchanges (the expand +
+    re-agg distinct rewrite). The naive alternative (a k-way chain of
+    per-term semi-joins) is k shuffles of the same postings; the most
+    selective term bounds the output exactly as in the reference's
+    heap-merge engines.
     """
     config = config or tables.config
     pq = prepare_query(spark, tables, query, config)
@@ -987,7 +990,7 @@ def conjunctive(
     docs = (
         matched_postings(spark, tables, terms)
         .groupBy("docid")
-        .agg(F.count_distinct("term").alias("nt"))
+        .agg(F.count(F.lit(1)).alias("nt"))
         .filter(F.col("nt") == len(terms))
         .select("docid", F.lit(1.0).alias("raw"))
     )

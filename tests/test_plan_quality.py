@@ -125,3 +125,52 @@ def test_minhash_signature_transform_not_duplicated(spark):
     sigs = dedup._signatures_from_hashed(hs, 16)
     plan = sigs._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("xxhash64") == 2
+
+
+def test_conjunctive_is_one_shuffle_no_join(spark, tables):
+    """conjunctive (k=None): the AND intersection is ONE count-aggregation
+    exchange over the term-pruned postings — never the naive
+    k-way chain of per-term semi-joins (k shuffles of the same postings).
+    The trailing rangepartitioning exchange is the caller-facing ORDER BY,
+    not part of the intersection."""
+    plan = _plan(q.conjunctive(spark, tables, "web search", k=None))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pack_sequences_single_bucket_exchange(spark):
+    """pack_sequences: the ONLY exchange is the md5-bucket hash partition
+    feeding the per-bucket prefix-sum window; the piece generator
+    (sequence -> explode -> slice) stays map-only above it. A global sort
+    (rangepartitioning) here would serialize the corpus."""
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.functions import chunking
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e f g").alias("text")
+    )
+    plan = _plan(chunking.pack_sequences(docs, seq_len=5, n_buckets=4))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_lm_score_is_joins_plus_agg_no_window(spark):
+    """lm_score: bigrams come from the map-only arrays_zip slide (no
+    posexplode self-join, no window), the two model joins are equi hash
+    joins (broadcast at this model size), and nothing is cartesian."""
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.operators import lm_quality
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog").alias("text"),
+    )
+    model = lm_quality.fit_bigram_lm(docs)
+    plan = _plan(lm_quality.lm_score(docs, model))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
