@@ -640,6 +640,54 @@ def q_repetition_signals(spark, sf_dir):
     )
 
 
+def _wrap_words(text, n: int):
+    """Deterministically re-wrap single-line synthetic text into ``n``-word
+    lines. The fixture corpus has no newlines, so the line-level cleanup
+    operators would gate trivially on it; both engines share the exact
+    slice/sequence primitives, so the wrapped text is bit-identical."""
+    w = F.filter(F.split(text, " "), lambda x: x != "")
+    starts = F.when(
+        F.size(w) > 0, F.sequence(F.lit(1), F.size(w), F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_join(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+        "\n",
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """Intra-document repetition removal (`ta.dedup_lines`): first
+    occurrence of every line kept in order, over text re-wrapped into
+    2-word lines (246 duplicate (doc, line) pairs at sf0.01). Map-only.
+    The oracle recomputes the first-occurrence filter with DuckDB index
+    lambdas (`list_position(ls, x) = i`)."""
+    docs = load_documents(spark, sf_dir)
+    wrapped = _wrap_words(F.col("text"), 2)
+    clean = ta.dedup_lines(wrapped)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.when(clean == "", F.lit(0))
+        .otherwise(F.size(F.split(clean, "\n")))
+        .cast("long")
+        .alias("n_lines_kept"),
+    )
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Cross-document boilerplate removal
+    (`curate.remove_boilerplate_lines`): every line appearing in >= 2
+    distinct documents deleted corpus-wide, over text re-wrapped into
+    4-word lines (341 template lines at sf0.01). The oracle re-derives
+    the line document-frequency, the per-line keep/drop, and the ordered
+    reassembly independently."""
+    docs = load_documents(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id", _wrap_words(F.col("text"), 4).alias("text")
+    )
+    return curate.remove_boilerplate_lines(wrapped, min_docs=2)
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII masking as a map-only scan. Each row gets a deterministic
     synthetic email / IPv4 / phone appended (the fixture corpus is clean,
@@ -1137,6 +1185,8 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "fingerprints": q_fingerprints,
     "repetition_signals": q_repetition_signals,
+    "line_dedup": q_line_dedup,
+    "boilerplate_removal": q_boilerplate_removal,
     "pii_redaction": q_pii_redaction,
     "url_normalization": q_url_normalization,
     "deterministic_split": q_deterministic_split,
@@ -2110,6 +2160,70 @@ SELECT doc_id,
                   ELSE 1 - len(list_distinct(grams)) / len(grams)::DOUBLE END, 6)
          AS dup_trigram_ratio
 FROM g
+"""
+
+ORACLE_SQL["line_dedup"] = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         CASE WHEN len(w) > 0
+              THEN list_transform(generate_series(1, len(w), 2),
+                                  i -> array_to_string(w[i : i+1], ' '))
+              ELSE []::VARCHAR[] END AS ls
+  FROM t
+),
+d AS (
+  SELECT doc_id,
+         list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+  FROM l
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       len(kept)::BIGINT AS n_lines_kept
+FROM d
+"""
+
+ORACLE_SQL["boilerplate_removal"] = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         CASE WHEN len(w) > 0
+              THEN list_transform(generate_series(1, len(w), 4),
+                                  i -> array_to_string(w[i : i+3], ' '))
+              ELSE []::VARCHAR[] END AS ls
+  FROM t
+),
+x AS (
+  SELECT doc_id, u.s.line AS line, u.s.pos AS pos
+  FROM l, unnest(list_transform(ls, (e, i) -> struct_pack(line := e, pos := i))) AS u(s)
+),
+bp AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM x)
+  GROUP BY line HAVING count(*) >= 2
+),
+k AS (
+  SELECT x.doc_id,
+         coalesce(array_to_string(
+           list(x.line ORDER BY x.pos) FILTER (WHERE bp.line IS NULL),
+           chr(10)), '') AS clean_text,
+         count(*) FILTER (WHERE bp.line IS NULL) AS n_lines_kept,
+         count(*) AS n_total
+  FROM x LEFT JOIN bp ON x.line = bp.line
+  GROUP BY x.doc_id
+)
+SELECT doc_id, clean_text,
+       n_lines_kept::BIGINT AS n_lines_kept,
+       (n_total - n_lines_kept)::BIGINT AS n_lines_removed
+FROM k
+UNION ALL
+SELECT doc_id, '' AS clean_text, 0::BIGINT, 0::BIGINT
+FROM l WHERE len(ls) = 0
 """
 
 ORACLE_SQL["decontamination"] = r"""

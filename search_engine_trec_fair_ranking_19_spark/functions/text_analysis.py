@@ -173,3 +173,29 @@ def fingerprint(text: Column) -> Column:
     lowercased text (the exact-dedup key)."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+def dedup_lines(text: Column) -> Column:
+    """Intra-document repetition REMOVAL (the transform the dup_*_ratio
+    signals only measure): keep the FIRST occurrence of every (trimmed,
+    non-empty) line, in original order, rejoined with '\\n' — the
+    CCNet/Gopher-style cleanup that strips repeated nav/footer/menu lines
+    a crawler pasted into the body. Whitespace-only lines are dropped
+    (same `_lines` derivation as the ratios, so signal and transform agree
+    on what a line is).
+
+    Map-only: one `aggregate` fold per row accumulating the
+    first-occurrence array — O(L^2) element compares for L lines per doc,
+    which at web scale (L ~ 10^2) is orders cheaper than any shuffle; the
+    lines array is computed once per row (no per-element recompute of the
+    split, unlike a filter-with-array_position formulation)."""
+    return F.array_join(
+        F.aggregate(
+            _lines(text),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+                F.concat(acc, F.array(x))
+            ),
+        ),
+        "\n",
+    )

@@ -245,3 +245,80 @@ def write_training_set(chunks: DataFrame, out_dir: str) -> None:
     (partition-pruned scan), and the val directory is immutable evidence
     of what was held out."""
     chunks.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: delete every (trimmed,
+    non-empty) line that appears in at least ``min_docs`` DISTINCT
+    documents — the cross-document twin of `ta.dedup_lines` (nav bars,
+    cookie banners, footers: the lines a site template stamps onto every
+    page, which no per-document signal can see).
+
+    One row per input document: ``(id_col, clean_text, n_lines_kept,
+    n_lines_removed)`` — surviving lines rejoined with '\\n' in original
+    order; a document whose every line is boilerplate (or that has no
+    non-empty lines) comes back with ``clean_text = ''``.
+
+    Plan — 2 shuffles + 1 (usually broadcast) join, no Python:
+      1. line document-frequency: map-only ``explode(array_distinct(
+         lines))`` (a line repeated within one doc counts once) into ONE
+         `groupBy(line)` agg with map-side partial combine;
+      2. the ``>= min_docs`` survivors are the join side — tiny after the
+         filter (only template lines cross the threshold), so AQE
+         broadcasts it against the posexploded corpus;
+      3. ONE `groupBy(doc)` reassembly: `collect_list` of the kept
+         ``(pos, line)`` structs, `array_sort` (pos is unique per doc, so
+         the order is total), join back to text. Zero-line docs ride a
+         map-only union, not an outer join against the corpus.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(ta._lines(F.col(text_col))).alias("pos", "line"),
+    )
+    boilerplate = (
+        docs.select(
+            F.explode(F.array_distinct(ta._lines(F.col(text_col)))).alias(
+                "line"
+            )
+        )
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_docs"))
+        .filter(F.col("line_docs") >= min_docs)
+        .select("line", F.lit(True).alias("is_bp"))
+    )
+    kept_struct = F.when(
+        F.col("is_bp").isNull(), F.struct("pos", "line")
+    )  # collect_list skips nulls -> boilerplate rows drop out
+    per_doc = (
+        lines.join(boilerplate, "line", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(
+                F.when(F.col("is_bp").isNull(), 1).otherwise(0)
+            ).alias("n_lines_kept"),
+            F.sum(
+                F.when(F.col("is_bp").isNull(), 0).otherwise(1)
+            ).alias("n_lines_removed"),
+        )
+    )
+    no_lines = docs.filter(
+        F.size(ta._lines(F.col(text_col))) == 0
+    ).select(
+        F.col(id_col),
+        F.lit("").alias("clean_text"),
+        F.lit(0).cast("long").alias("n_lines_kept"),
+        F.lit(0).cast("long").alias("n_lines_removed"),
+    )
+    return per_doc.unionByName(no_lines)
