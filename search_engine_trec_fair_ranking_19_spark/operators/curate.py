@@ -165,6 +165,8 @@ def prepare_training_set(
     decontaminate_n: int = 13,
     eval_text_col: str = "text",
     redact: bool = False,
+    clean_lines: bool = False,
+    boilerplate_min_docs: int | None = None,
     **curate_kwargs,
 ) -> DataFrame:
     """The whole raw-crawl → training-chunks pipeline as one frame:
@@ -175,6 +177,15 @@ def prepare_training_set(
     train/val split → context-length chunking. Output: one row per
     training chunk — ``(doc_id, source, split, chunk_id, n_tokens,
     chunk)``.
+
+    Line-level cleanup is opt-in and runs between decontamination and
+    curation — AFTER decontamination (the contamination contract is
+    against raw text; removing lines first could split a shared n-gram)
+    and BEFORE the quality/dedup signals (so they score the text that
+    will actually be trained on): ``clean_lines`` applies the map-only
+    intra-document `ta.dedup_lines`, ``boilerplate_min_docs`` applies the
+    corpus-frequency `remove_boilerplate_lines` (one extra doc_id join to
+    swap the cleaned text in).
 
     Decontamination runs FIRST, on the raw corpus: one extra map pass
     (shingle-hash + broadcast probe) over raw rows, instead of feeding
@@ -212,6 +223,14 @@ def prepare_training_set(
             text_col=text_col,
             eval_text_col=eval_text_col,
         )
+    if clean_lines:
+        df = df.withColumn(text_col, ta.dedup_lines(F.col(text_col)))
+    if boilerplate_min_docs is not None:
+        cleaned = remove_boilerplate_lines(
+            df, min_docs=boilerplate_min_docs, id_col=id_col,
+            text_col=text_col,
+        ).select(id_col, F.col("clean_text").alias(text_col))
+        df = df.drop(text_col).join(cleaned, id_col)
     sid = F.col(id_col).cast("long")
     decisions = curation_decisions(
         df, id_col=id_col, text_col=text_col, **curate_kwargs

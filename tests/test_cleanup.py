@@ -105,3 +105,34 @@ def test_boilerplate_removal_plan_shape(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_prepare_training_set_clean_lines_composition(spark):
+    # one doc whose second half repeats its first line; with clean_lines
+    # the chunks are built from the deduped text
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma\nalpha beta gamma", "s1")],
+        "doc_id long, text string, source string",
+    )
+    kw = dict(max_len=10, langs=("unk",), min_quality=0.0)
+    base = curate.prepare_training_set(df, **kw)
+    cleaned = curate.prepare_training_set(df, clean_lines=True, **kw)
+    assert base.agg(F.sum("n_tokens")).head()[0] == 6
+    assert cleaned.agg(F.sum("n_tokens")).head()[0] == 3
+
+
+def test_prepare_training_set_boilerplate_composition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha words\nshared footer line", "s1"),
+            (2, "different beta words\nshared footer line", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curate.prepare_training_set(
+        df, max_len=10, boilerplate_min_docs=2, langs=("unk",),
+        min_quality=0.0,
+    )
+    toks = {t for r in out.collect() for t in r["chunk"].split()}
+    assert "footer" not in toks and "shared" not in toks
+    assert {"unique", "alpha", "different", "beta"} <= toks
