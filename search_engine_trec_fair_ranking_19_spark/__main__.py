@@ -240,6 +240,8 @@ def cmd_prepare(spark: SparkSession, args) -> int:
         eval_df=eval_df,
         decontaminate_n=args.decontaminate_n,
         redact=args.redact,
+        clean_lines=args.clean_lines,
+        boilerplate_min_docs=args.boilerplate_min_docs,
         langs=tuple(args.langs.split(",")),
         min_quality=args.min_quality,
         shingle_n=args.shingle_n,
@@ -342,6 +344,17 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--eval", default=None, help="eval/benchmark parquet to decontaminate against")
     t.add_argument("--decontaminate-n", type=int, default=13)
     t.add_argument("--redact", action="store_true", help="mask emails/IPs/phones")
+    t.add_argument(
+        "--clean-lines",
+        action="store_true",
+        help="intra-document line dedup (first occurrence kept, in order)",
+    )
+    t.add_argument(
+        "--boilerplate-min-docs",
+        type=int,
+        default=None,
+        help="delete lines appearing in at least this many distinct docs",
+    )
     t.add_argument("--cap-per-source", type=int, default=None)
     t.add_argument(
         "--token-budget",

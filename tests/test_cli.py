@@ -205,3 +205,33 @@ def test_cli_prepare_token_budget(spark, tmp_path, capsys):
         ],
     )
     assert json.loads(rerun[-1]) == json.loads(capped[-1])
+
+
+def test_cli_prepare_clean_lines(spark, tmp_path, capsys):
+    docs = str(tmp_path / "clean_docs.parquet")
+    out_dir = str(tmp_path / "clean_set")
+    rows = [
+        (1, _PAD + " body one\nshared footer line here now", "s"),
+        (2, _PAD + " body two\nshared footer line here now", "s"),
+        (3, _PAD + " body three\n" + _PAD + " body three", "s"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(docs)
+    out = _run(
+        spark, capsys,
+        [
+            "prepare", "--input", docs, "--out", out_dir,
+            "--clean-lines", "--boilerplate-min-docs", "2",
+            "--split", "train=1.0", "--max-len", "64",
+            "--min-quality", "0.0", "--langs", "en,unk",
+            "--near-dup-threshold", "0.99",
+        ],
+    )
+    assert json.loads(out[-1])["splits"]
+    text = " ".join(
+        r["chunk"] for r in spark.read.parquet(out_dir).collect()
+    )
+    # the cross-doc footer line is gone; doc 3's duplicated line collapsed
+    assert "footer" not in text
+    assert text.count("three") == 1
