@@ -174,3 +174,31 @@ def test_lm_score_is_joins_plus_agg_no_window(spark):
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_conjunctive_block_pruning_parity(spark, tables):
+    """Block-intersection pruning must be invisible in the result: the
+    pruned path (scan restricted to the rarest term's block ids) returns
+    exactly the exhaustive path's rows, and the router reports which path
+    ran."""
+    import search_engine_trec_fair_ranking_19_spark.operators.query as qq
+
+    stats = {}
+    pruned = qq.conjunctive(spark, tables, "web search", k=None, stats=stats)
+    assert stats["conjunctive"] == "block_pruned"
+    assert stats["n_candidate_blocks"] >= 1
+    rows_pruned = [(r["docid"], r["score"]) for r in pruned.collect()]
+    old = qq.CONJ_PRUNE_MAX_BLOCKS
+    try:
+        qq.CONJ_PRUNE_MAX_BLOCKS = -1  # force the exhaustive path
+        stats2 = {}
+        exhaustive = qq.conjunctive(
+            spark, tables, "web search", k=None, stats=stats2
+        )
+        assert stats2["conjunctive"] == "exhaustive"
+        rows_exhaustive = [
+            (r["docid"], r["score"]) for r in exhaustive.collect()
+        ]
+    finally:
+        qq.CONJ_PRUNE_MAX_BLOCKS = old
+    assert rows_pruned and rows_pruned == rows_exhaustive
