@@ -964,6 +964,13 @@ def existential(
 # is no longer selective) — the same reasoning as WAND's routing floor.
 CONJ_PRUNE_MAX_BLOCKS = 4096
 
+# minimum decode volume the pruning must stand to save (≈ Σ DF − DF_min,
+# the other terms' postings) before the metadata job pays. Set just under
+# the smallest measured win, WAND-convention (BENCH/conjunctive_prune.json,
+# 2M-doc hapax corpus: saved ≈ 1.65M postings won 1.8x; an all-rare AND
+# with saved ≈ 2 LOST 0.2s — the collect job — to the exhaustive plan).
+CONJ_PRUNE_MIN_SAVED_DF = 1_500_000
+
 
 def conjunctive(
     spark: SparkSession,
@@ -999,8 +1006,12 @@ def conjunctive(
     term's block ids and pushes ``block_id IN (...)`` into the scan, so
     head terms decode only candidate blocks instead of their full
     posting lists — at web scale the decode volume drops from Σ DF to
-    ~n·DF_min. Selectivity-gated like WAND's router: an all-head AND
-    gains nothing and skips the metadata job. ``stats['conjunctive']``
+    ~n·DF_min. Selectivity-gated like WAND's router, from measurement
+    (`BENCH/conjunctive_prune.json`): the rarest DF must be bounded (an
+    all-head AND gains nothing and skips the metadata job) AND the
+    decode volume stood to be saved (Σ DF − DF_min) must clear the
+    measured floor (an all-rare AND decodes almost nothing either way
+    and loses the metadata job's latency). ``stats['conjunctive']``
     reports which path ran.
     """
     config = config or tables.config
@@ -1012,7 +1023,13 @@ def conjunctive(
         return _local_df(spark, [], TOPK_SCHEMA)
     df_by_term = dict(zip((t for t, _ in pq.terms), pq.dfs))
     min_df = min(df_by_term[t] for t in terms)
-    if len(terms) > 1 and min_df <= CONJ_PRUNE_MAX_BLOCKS:
+    saved_df = sum(df_by_term[t] for t in terms) - min_df
+    blk: list | None = None
+    if (
+        len(terms) > 1
+        and min_df <= CONJ_PRUNE_MAX_BLOCKS
+        and saved_df >= CONJ_PRUNE_MIN_SAVED_DF
+    ):
         rarest = min(terms, key=lambda t: (df_by_term[t], t))
         blk = [
             r["block_id"]
@@ -1021,6 +1038,15 @@ def conjunctive(
             .select("block_id")
             .collect()
         ]
+        # post-collect fallback: at small corpora (or for a rare-but-
+        # spread term) the candidate list can cover most of the docid
+        # space — the IN filter then prunes nothing and only bloats the
+        # predicate. DF bounds block count, so this is knowable only
+        # after the (tiny) metadata job; its cost is all we wasted.
+        total_blocks = -(-pq.n_docs // config.postings_block_size)
+        if len(blk) * 2 > total_blocks:
+            blk = None
+    if blk is not None:
         posting = decode_blocks(
             tables.postings(spark).filter(
                 F.col("term").isin(terms) & F.col("block_id").isin(blk)
