@@ -55,6 +55,8 @@ Stages timed:
                          scoring (CCNet-style quality ranking)
   * pack_sequences     — concat-and-split packing of every token stream
                          into fixed-length training sequences
+  * line_cleanup       — intra-doc line dedup + corpus-frequency
+                         boilerplate sweep over re-wrapped multi-line text
 """
 
 from __future__ import annotations
@@ -406,6 +408,30 @@ def main() -> None:
                 lambda: chunking.pack_sequences(
                     docs, seq_len=512, n_buckets=32
                 ).count()
+            ),
+            warmup=True,
+        )
+
+        # line-level cleanup: intra-doc dedup + corpus boilerplate sweep.
+        # The fixture corpus is single-line, so the text is re-wrapped
+        # into 4-word lines first (same transform the gates use) — the
+        # stage then measures the real kernels over ~n_docs*30 lines
+        from search_engine_trec_fair_ranking_19_spark.entry_queries import (
+            _wrap_words,
+        )
+
+        wrapped_docs = docs.select(
+            "doc_id",
+            ta.dedup_lines(_wrap_words(F.col("text"), 4)).alias("text"),
+        )
+        runner.run(
+            "line_cleanup",
+            lambda: _timed(
+                lambda: curate.remove_boilerplate_lines(
+                    wrapped_docs, min_docs=2
+                )
+                .agg(F.sum("n_lines_removed"), F.count(F.lit(1)))
+                .collect()
             ),
             warmup=True,
         )
