@@ -1152,6 +1152,50 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 removal set): merged
+    per-doc spans of 8-token windows whose content occurs ≥2 times in the
+    corpus, excluding each content's first occurrence. Deterministic and
+    exact (window-hash collisions aside, which the value-level oracle
+    match proves absent at gate scale), so the oracle is a full
+    content-level SQL twin — dedup.duplicate_spans."""
+    docs = load_documents(spark, sf_dir)
+    return dedup.duplicate_spans(docs, id_col="doc_id", text_col="text", k=8)
+
+
+def q_substring_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewritten corpus after span removal: every token position
+    covered by a duplicate_spans span dropped, survivors rejoined — one
+    row per input document (dedup.remove_duplicate_spans). The full
+    cleaned text is hash-compared against the SQL twin, pinning the
+    position bookkeeping end-to-end."""
+    docs = load_documents(spark, sf_dir)
+    return dedup.remove_duplicate_spans(
+        docs, id_col="doc_id", text_col="text", k=8
+    ).select("doc_id", "text", "n_tokens_removed")
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl collapse (curate.latest_snapshot): a synthetic multi-crawl
+    frame maps each document onto url = doc_id % 250 (so every url has
+    exactly 2 snapshots at sf0.01) with warc_ts monotone in doc_id; the
+    operator keeps the newest snapshot per url — max warc_ts, text-desc
+    tiebreak. Exercises the real (url, warc_ts) input-shape semantics the
+    engine's webtext contract carries."""
+    docs = load_documents(spark, sf_dir)
+    crawl = docs.select(
+        F.format_string("doc%08d", F.col("doc_id") % 250).alias("url"),
+        F.timestamp_seconds(F.lit(1_500_000_000) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    return curate.latest_snapshot(crawl).select(
+        "url", F.col("doc_id").alias("kept_doc_id"), "text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -1204,6 +1248,9 @@ QUERIES = {
     "curation_decisions": q_curation_decisions,
     "training_chunks": q_training_chunks,
     "decontamination": q_decontamination,
+    "substring_dup_spans": q_substring_dup_spans,
+    "substring_dedup_text": q_substring_dedup_text,
+    "latest_snapshot": q_latest_snapshot,
     "minhash_lsh_pairs": q_minhash_pairs,
     "minhash_incremental_pairs": q_minhash_incremental_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2241,4 +2288,74 @@ tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
 SELECT doc_id, count(*) AS n_hits
 FROM tr JOIN ev USING (s)
 GROUP BY doc_id
+"""
+
+# Substring-span dedup oracles: the Spark side compares 64-bit window
+# hashes; the SQL twin compares the window CONTENT itself, so agreement
+# additionally certifies the gate corpus is collision-free. The duplicated-
+# instance CTE prefix (windows -> per-content stats -> removal set) is
+# shared between the span gate and the cleaned-text gate.
+_SPAN_K = 8
+_SPAN_DUP_CTES = f"""t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+w AS (
+  SELECT doc_id, i - 1 AS start,
+         list_aggregate(toks[i : i + {_SPAN_K} - 1], 'string_agg', ' ') AS win
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - {_SPAN_K} + 2)) AS i) r
+  WHERE len(toks) >= {_SPAN_K}),
+g AS (
+  SELECT doc_id, start,
+         count(*) OVER (PARTITION BY win) AS n_inst,
+         min(struct_pack(d := doc_id, s := start)) OVER (PARTITION BY win)
+           AS first
+  FROM w),
+d AS (
+  SELECT doc_id, start FROM g
+  WHERE n_inst > 1 AND NOT (doc_id = first.d AND start = first.s))"""
+
+ORACLE_SQL["substring_dup_spans"] = f"""
+WITH {_SPAN_DUP_CTES},
+i AS (
+  SELECT doc_id, start,
+         CASE WHEN start <= lag(start) OVER (PARTITION BY doc_id
+                                             ORDER BY start) + {_SPAN_K}
+              THEN 0 ELSE 1 END AS brk
+  FROM d),
+s AS (
+  SELECT doc_id, start,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM i)
+SELECT doc_id, min(start) AS span_start,
+       max(start) + {_SPAN_K} - 1 AS span_end, count(*) AS n_windows
+FROM s GROUP BY doc_id, island
+"""
+
+ORACLE_SQL["substring_dedup_text"] = f"""
+WITH {_SPAN_DUP_CTES},
+pos AS (
+  SELECT doc_id, toks[i] AS tok, i - 1 AS p
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r),
+cov AS (
+  SELECT DISTINCT pos.doc_id, pos.p
+  FROM pos JOIN d ON pos.doc_id = d.doc_id
+   AND pos.p >= d.start AND pos.p <= d.start + {_SPAN_K} - 1)
+SELECT t.doc_id,
+       coalesce((SELECT string_agg(tok, ' ' ORDER BY pos.p) FROM pos
+                 LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+                 WHERE pos.doc_id = t.doc_id AND cov.p IS NULL), '') AS text,
+       (SELECT count(*) FROM cov WHERE cov.doc_id = t.doc_id)
+         AS n_tokens_removed
+FROM t
+"""
+
+ORACLE_SQL["latest_snapshot"] = """
+SELECT url, kept_doc_id, text FROM (
+  SELECT printf('doc%08d', doc_id % 250) AS url, doc_id AS kept_doc_id, text,
+         row_number() OVER (PARTITION BY doc_id % 250
+                            ORDER BY to_timestamp(1500000000 + doc_id) DESC,
+                                     text DESC) AS rn
+  FROM documents) WHERE rn = 1
 """

@@ -341,3 +341,37 @@ def remove_boilerplate_lines(
         F.lit(0).cast("long").alias("n_lines_removed"),
     )
     return per_doc.unionByName(no_lines)
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str = "text",
+) -> DataFrame:
+    """Collapse a multi-crawl table to its newest snapshot per page.
+
+    Common-Crawl-style inputs carry every recrawl of a url as its own row
+    (url, warc_ts, html, text, ...); indexing or training on the raw table
+    double-counts every recrawled page and lets stale extractions shadow
+    fresh ones. This keeps exactly ONE row per ``key_col``: the max
+    ``ts_col``, ties broken by descending ``tiebreak_col`` so the survivor
+    is a pure function of the data (two engines / two cluster sizes /
+    a retried stage all keep the identical row — same determinism rule as
+    :func:`cap_per_group`).
+
+    Scale shape: ``row_number() == 1`` over a (key, ts desc) window is
+    rewritten by Spark into WindowGroupLimit — each input partition keeps
+    one candidate row per url BEFORE the exchange, so a url recrawled
+    monthly for a decade ships ~1 row per upstream partition into the
+    shuffle, not 120. One shuffle on the url, no joins, all columns ride
+    along untouched (the html binary is moved once, never compared).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc_nulls_last(), F.col(tiebreak_col).desc_nulls_last()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

@@ -822,3 +822,164 @@ def drop_near_duplicates(
     return df.join(
         losers.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup (duplicated k-token windows)
+# ---------------------------------------------------------------------------
+
+def _ws_positions_tokens(text: Column) -> Column:
+    """Whitespace tokens for span dedup — case-sensitive, position-faithful.
+
+    Unlike the shingle tokenizer above (lowercased, alphanumeric-only),
+    span removal must map window positions back onto the document and
+    re-emit the SURVIVING tokens, so the token stream is the document:
+    split on runs of whitespace, nothing normalized away. Reconstruction
+    joins with a single space (whitespace runs are not preserved — the
+    same normalization every training-data pipeline applies)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Merged per-doc spans of k-token windows whose content occurs ≥2
+    times in the corpus, EXCLUDING each window-content's first occurrence
+    (min (doc_id, start)) — the removal set of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): boilerplate paragraphs, syndicated passages and
+    licence blocks duplicated across pages, kept once corpus-wide.
+
+    Returns (doc_id, span_start, span_end, n_windows): token positions,
+    0-based, span_end INCLUSIVE; overlapping or adjacent duplicated
+    windows (next start ≤ prev start + k) merge into one span.
+
+    Spark-first plan — 2 shuffles total, both on token-count-sized rows,
+    no Python anywhere:
+      1. window instances: per-token `xxhash64`, then each window's hash
+         is `xxhash64` over its k token hashes via O(1) `element_at`
+         (same O(L·k) trick as `_hashed_shingles` — no O(L²) slice+concat,
+         no window string ever built);
+      2. per-hash occurrence stats via ONE window over `whash` (count +
+         min (doc_id, start) struct — no self-join, the exchange is paid
+         once);
+      3. island merge via ONE window over (doc_id, start): lag + running
+         sum, then `groupBy(doc_id, island)`, which reuses the doc_id
+         exchange for the partial agg.
+
+    The paper's suffix-array formulation is inherently sequential; the
+    rolling k-token window is the standard distributed equivalent (equal
+    recall for duplicated runs ≥ k tokens, none below k — pick k = the
+    shortest run worth deleting). 64-bit hash collisions can merge two
+    distinct window contents (~2⁻⁶⁴ per pair): acceptable and documented
+    at corpus scale, and the exact-content SQL oracle agreeing at gate
+    scale shows the fixture set is collision-free.
+    """
+    toks = _ws_positions_tokens(F.col(text_col))
+    th = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks")).select(
+        "doc_id",
+        F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    wins = th.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                _shingle_starts(F.col("__th"), k),
+                lambda i: F.xxhash64(
+                    *[F.element_at("__th", i + j + 1) for j in range(k)]
+                ),
+            )
+        ).alias("start", "whash"),
+    )
+    per_hash = Window.partitionBy("whash")
+    dup = (
+        wins.withColumn("n_inst", F.count(F.lit(1)).over(per_hash))
+        .withColumn(
+            "first", F.min(F.struct("doc_id", "start")).over(per_hash)
+        )
+        .filter(
+            (F.col("n_inst") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("start") == F.col("first.start"))
+            )
+        )
+        .select("doc_id", "start")
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("start")
+    return (
+        dup.withColumn(
+            "brk",
+            F.when(
+                F.col("start") <= F.lag("start").over(by_pos) + k, 0
+            ).otherwise(1),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                by_pos.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans deleted: every
+    token position covered by a :func:`duplicate_spans` span is dropped,
+    survivors re-joined with single spaces. One row per INPUT document
+    (span-free docs pass through with 0 removed).
+
+    Output: all columns of ``df`` with ``text_col`` replaced by the
+    cleaned text, plus ``n_tokens_removed``.
+
+    Plan: spans aggregate per doc into a (usually tiny — only documents
+    that contain duplicated passages) array side, LEFT-joined back; the
+    position filter is a JVM higher-order `filter((tok, i) -> ...)` with
+    an `exists` probe over the doc's span array — no explode of the
+    corpus tokens, no Python."""
+    spans = (
+        duplicate_spans(df, id_col, text_col, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias(
+                "__spans"
+            ),
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("__n_removed"),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )
+    toks = _ws_positions_tokens(F.col(text_col))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    cleaned = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(
+        F.concat_ws(" ", F.filter(toks, lambda t, i: ~covered(i)))
+    )
+    return (
+        df.join(spans, id_col, "left")
+        .withColumn(text_col, cleaned)
+        .withColumn(
+            "n_tokens_removed", F.coalesce(F.col("__n_removed"), F.lit(0))
+        )
+        .drop("__spans", "__n_removed")
+    )

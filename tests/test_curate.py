@@ -250,3 +250,39 @@ def test_prepare_training_set_decontaminates_and_redacts(spark):
     assert {r["doc_id"] for r in rows} == {8}
     assert all("jane@example.com" not in r["chunk"] for r in rows)
     assert any("[email]" in r["chunk"] for r in rows)
+
+
+def test_latest_snapshot_keeps_newest_per_url(spark):
+    crawl = spark.createDataFrame(
+        [
+            ("u1", 10, b"h1", "old extraction"),
+            ("u1", 30, b"h3", "new extraction"),
+            ("u1", 20, b"h2", "middle extraction"),
+            ("u2", 5, b"h4", "only crawl"),
+        ],
+        "url string, ts long, html binary, text string",
+    ).withColumn("warc_ts", F.timestamp_seconds(F.col("ts")))
+    out = {r["url"]: r for r in curate.latest_snapshot(crawl).collect()}
+    assert len(out) == 2
+    assert out["u1"]["text"] == "new extraction"  # max warc_ts wins
+    assert out["u1"]["html"] == b"h3"  # every column rides along
+    assert out["u2"]["text"] == "only crawl"
+
+
+def test_latest_snapshot_deterministic_tiebreak(spark):
+    # identical warc_ts: descending text decides, so the survivor is a pure
+    # function of the data (engine/cluster-size independent)
+    crawl = spark.createDataFrame(
+        [("u1", 10, "aaa"), ("u1", 10, "zzz"), ("u1", 9, "newest-but-older")],
+        "url string, warc_ts long, text string",
+    )
+    out = curate.latest_snapshot(crawl).collect()
+    assert len(out) == 1 and out[0]["text"] == "zzz"
+
+
+def test_latest_snapshot_plan_is_window_group_limit(spark):
+    crawl = spark.createDataFrame(
+        [("u1", 1, "a"), ("u1", 2, "b")], "url string, warc_ts long, text string"
+    )
+    plan = curate.latest_snapshot(crawl)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -269,3 +269,114 @@ def test_drop_near_duplicates_against(spark):
     ).collect()
     assert [r["doc_id"] for r in kept] == [8]
     assert len(kept[0].asDict()) == 2  # original columns preserved
+
+
+# ---------------------------------------------------------------------------
+# substring-span dedup (duplicated k-token windows)
+# ---------------------------------------------------------------------------
+
+def _span_docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j k l"),   # first occurrence of everything
+        (2, "x y c d e f z w q r s t"),   # one 4-window dup ('c d e f')
+        (3, "p q r"),                     # shorter than k -> no windows
+        (4, "a b c d e f g h i j k l"),   # exact dup of 1 -> fully covered
+        (5, "m n o a b c d e f g h i j k l u v"),  # dup run mid-doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_spans(rows, k):
+    """Tiny python reference: same semantics, brute force on content."""
+    toks = {d: t.split() for d, t in rows}
+    wins = [
+        (d, i, " ".join(ts[i : i + k]))
+        for d, ts in toks.items()
+        for i in range(len(ts) - k + 1)
+    ]
+    from collections import Counter, defaultdict
+
+    cnt = Counter(w for _, _, w in wins)
+    first = {}
+    for d, i, w in sorted(wins, key=lambda x: (x[0], x[1])):
+        first.setdefault(w, (d, i))
+    removed = defaultdict(list)
+    for d, i, w in wins:
+        if cnt[w] > 1 and first[w] != (d, i):
+            removed[d].append(i)
+    spans = []
+    for d, starts in removed.items():
+        starts.sort()
+        cur = [starts[0], starts[0]]
+        out = []
+        for s in starts[1:]:
+            if s <= cur[1] + k:
+                cur[1] = s
+            else:
+                out.append(cur)
+                cur = [s, s]
+        out.append(cur)
+        for s0, s1 in out:
+            n_win = sum(1 for s in starts if s0 <= s <= s1)
+            spans.append((d, s0, s1 + k - 1, n_win))
+    return sorted(spans)
+
+
+def test_duplicate_spans_matches_reference(spark):
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, "x y c d e f z w q r s t"),
+        (3, "p q r"),
+        (4, "a b c d e f g h i j k l"),
+        (5, "m n o a b c d e f g h i j k l u v"),
+    ]
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup.duplicate_spans(_span_docs(spark), k=4).collect()
+    )
+    assert got == _py_spans(rows, 4)
+    # the exact-dup doc is covered end to end; the first occurrence is not
+    by_doc = {g[0]: g for g in got}
+    assert 1 not in by_doc
+    assert by_doc[4][1:3] == (0, 11)
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    # the SAME window twice in ONE doc: second instance is removed
+    df = spark.createDataFrame(
+        [(7, "a b c d Z a b c d")], "doc_id long, text string"
+    )
+    got = [
+        (r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, k=4).collect()
+    ]
+    assert got == [(5, 8)]
+
+
+def test_remove_duplicate_spans(spark):
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in dedup.remove_duplicate_spans(
+            _span_docs(spark), k=4
+        ).collect()
+    }
+    assert len(out) == 5  # one row per INPUT doc, span-free docs included
+    assert out[1] == ("a b c d e f g h i j k l", 0)
+    assert out[2] == ("x y z w q r s t", 4)
+    assert out[3] == ("p q r", 0)
+    assert out[4] == ("", 12)  # exact dup fully deleted
+    # doc5: 'a b c ... l' (12 tokens) covered, 'm n o' + 'u v' survive
+    assert out[5] == ("m n o u v", 12)
+
+
+def test_remove_duplicate_spans_carries_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "en"), (2, "a b c d e f", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["lang"])
+        for r in dedup.remove_duplicate_spans(df, k=4).collect()
+    }
+    assert out[1] == ("a b c d e f", "en")
+    assert out[2] == ("", "de")
