@@ -43,6 +43,7 @@ Stages timed:
                          (reference: 635 queries at 0.92-3.7 s/query)
   * dedup_minhash      — MinHash+LSH near-dup sweep
   * dedup_exact        — exact-hash duplicate groups
+  * dedup_substring    — duplicated 8-token-window spans removed corpus-wide
   * curate_corpus      — composed curation pipeline (lang → quality →
                          exact dedup → near-dup clusters over the
                          MinHash-LSH pair set)
@@ -333,6 +334,18 @@ def main() -> None:
         runner.run(
             "dedup_exact",
             lambda: _timed(lambda: dedup.exact_duplicates(docs).count()),
+        )
+
+        # substring-span dedup: duplicated 8-token windows found, merged,
+        # and deleted corpus-wide (2 shuffles + the span-removal rewrite)
+        runner.run(
+            "dedup_substring",
+            lambda: _timed(
+                lambda: dedup.remove_duplicate_spans(docs, k=8)
+                .agg(F.sum("n_tokens_removed"), F.count(F.lit(1)))
+                .collect()
+            ),
+            warmup=True,
         )
 
         emb = load_embeddings(spark, sf_dir)

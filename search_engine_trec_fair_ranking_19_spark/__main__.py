@@ -242,6 +242,7 @@ def cmd_prepare(spark: SparkSession, args) -> int:
         redact=args.redact,
         clean_lines=args.clean_lines,
         boilerplate_min_docs=args.boilerplate_min_docs,
+        dedup_spans_k=args.dedup_spans_k,
         langs=tuple(args.langs.split(",")),
         min_quality=args.min_quality,
         shingle_n=args.shingle_n,
@@ -354,6 +355,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="delete lines appearing in at least this many distinct docs",
+    )
+    t.add_argument(
+        "--dedup-spans-k",
+        type=int,
+        default=None,
+        help="delete duplicated k-token runs corpus-wide "
+        "(first occurrence kept)",
     )
     t.add_argument("--cap-per-source", type=int, default=None)
     t.add_argument(

@@ -167,6 +167,7 @@ def prepare_training_set(
     redact: bool = False,
     clean_lines: bool = False,
     boilerplate_min_docs: int | None = None,
+    dedup_spans_k: int | None = None,
     **curate_kwargs,
 ) -> DataFrame:
     """The whole raw-crawl → training-chunks pipeline as one frame:
@@ -185,7 +186,11 @@ def prepare_training_set(
     will actually be trained on): ``clean_lines`` applies the map-only
     intra-document `ta.dedup_lines`, ``boilerplate_min_docs`` applies the
     corpus-frequency `remove_boilerplate_lines` (one extra doc_id join to
-    swap the cleaned text in).
+    swap the cleaned text in). ``dedup_spans_k`` opts in substring-span
+    dedup (`dedup.remove_duplicate_spans`) at the same point in the
+    order, after line cleanup: duplicated k-token runs are deleted
+    corpus-wide (first occurrence kept) before any signal scores the
+    text.
 
     Decontamination runs FIRST, on the raw corpus: one extra map pass
     (shingle-hash + broadcast probe) over raw rows, instead of feeding
@@ -231,6 +236,16 @@ def prepare_training_set(
             text_col=text_col,
         ).select(id_col, F.col("clean_text").alias(text_col))
         df = df.drop(text_col).join(cleaned, id_col)
+    if dedup_spans_k is not None:
+        # substring-span dedup sits with the other text rewrites: after
+        # decontamination (raw-text contract) and line cleanup (spans
+        # should be found in the text that line cleanup left standing),
+        # before the quality/dedup signals score the final text
+        from .dedup import remove_duplicate_spans
+
+        df = remove_duplicate_spans(
+            df, id_col=id_col, text_col=text_col, k=dedup_spans_k
+        ).drop("n_tokens_removed")
     sid = F.col(id_col).cast("long")
     decisions = curation_decisions(
         df, id_col=id_col, text_col=text_col, **curate_kwargs

@@ -286,3 +286,33 @@ def test_latest_snapshot_plan_is_window_group_limit(spark):
     )
     plan = curate.latest_snapshot(crawl)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_prepare_training_set_dedup_spans(spark):
+    # doc 1 and doc 2 share a 6-token run; with dedup_spans_k=6 the second
+    # occurrence is deleted before chunking, the first is kept intact
+    shared = "the one and two of three in four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma delta", "s1"),
+            (2, f"the prefix and words of here {shared} the tail and end", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    chunks = curate.prepare_training_set(
+        docs,
+        max_len=50,
+        dedup_spans_k=8,
+        split_weights={"train": 1.0},
+        min_quality=0.0,
+    )
+    text_by_doc = {
+        r["doc_id"]: " ".join(
+            c["chunk"] for c in sorted(chunks.collect(), key=lambda x: x["chunk_id"])
+            if c["doc_id"] == r["doc_id"]
+        )
+        for r in chunks.select("doc_id").distinct().collect()
+    }
+    assert shared in text_by_doc[1]
+    assert shared not in text_by_doc[2]
+    assert "the prefix and words of here" in text_by_doc[2]

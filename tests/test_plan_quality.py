@@ -238,3 +238,21 @@ def test_conjunctive_block_pruning_parity(spark, tmp_path):
     stats4 = {}
     qq.conjunctive(spark, t2, "zqvxterm web", k=None, stats=stats4)
     assert stats4["conjunctive"] == "exhaustive"
+
+
+def test_duplicate_spans_two_exchanges_no_join(spark):
+    """Substring-span dedup must stay a 2-shuffle plan: one whash exchange
+    shared by both per-content windows (count + first-instance min — a
+    self-join here would pay the token-sized exchange twice), one doc_id
+    exchange shared by the lag/sum windows AND the island partial agg."""
+    from search_engine_trec_fair_ranking_19_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dedup.duplicate_spans(df, k=4))
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+    # both window pairs share one Sort each (no re-sort between them)
+    assert plan.count("Sort ") == 2
