@@ -85,6 +85,7 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--seq-queries", type=int, default=20)
     ap.add_argument("--attempts", type=int, default=4)
+    ap.add_argument("--out", default="BENCH/evaluate_batch_500k.json")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -231,7 +232,7 @@ def main() -> None:
     }
     print(json.dumps(out, indent=1))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/evaluate_batch_500k.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -1,0 +1,211 @@
+"""Substring-span dedup at 500k docs: absolute throughput + 1→4 scaling.
+
+Measures `dedup.remove_duplicate_spans` (find duplicated k-token windows
+corpus-wide, merge to spans, rewrite every document) on the 500k-doc
+synthetic webtext corpus under the repo's standard admission protocol
+(tools/scaling_bench.py: cheap pre-probe, in-flight fault probes, ABBA
+pairs, within-arm reproducibility gate, hardware ceilings) at the
+local[1] → local[4] split — the faithful N→4N-executor analog per
+BENCH/BASELINE.md.
+
+The operator is 2 shuffles over token-count-sized rows (one per window
+hash, one per doc) plus the map-side rewrite, so its scaling is a direct
+probe of the exchange path with a different key distribution than the
+index build (window hashes are near-unique; postings terms are Zipfian).
+
+Usage: python tools/span_dedup_at_scale.py [--docs 500000] [--pairs 1]
+       [--k 16] [--out BENCH/span_dedup_500k.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_bench import (  # noqa: E402
+    ARM_REPRO_MAX,
+    HEALTH_FLOOR_MBPS,
+    _ArmProber,
+    _gen_corpus,
+    host_fault_mbps,
+    hw_cpu_scaling,
+    hw_mem_scaling,
+)
+
+
+def _run_arm(cpus: int, corpus_path: str, k: int) -> dict:
+    """One span-dedup trial at local[cpus]: fresh context, tiny warmup
+    first (JIT + codegen for the window/agg pipeline), then the timed
+    full-corpus pass."""
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from search_engine_trec_fair_ranking_19_spark.session import get_spark
+
+    extra = (
+        {"spark.local.dir": "/dev/shm/spark-local"}
+        if os.path.isdir("/dev/shm")
+        else None
+    )
+    spark = get_spark(
+        app_name=f"span-dedup-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        base = spark.read.parquet(corpus_path).select(
+            F.col("url").alias("doc_id"), F.col("text")
+        )
+        # the generator's random docs share no long runs, which would let
+        # the removal rewrite ride an empty join side — inject a
+        # deterministic 5% syndicated-copy fraction (same text, new url)
+        # so the span set, island merge, and rewrite all do real work
+        dups = base.filter(F.xxhash64("doc_id") % 20 == 0).select(
+            F.concat(F.col("doc_id"), F.lit("#syndicated")).alias("doc_id"),
+            "text",
+        )
+        docs = base.unionByName(dups)
+        warm = docs.limit(5000)
+        remove_duplicate_spans(warm, k=k).agg(
+            F.sum("n_tokens_removed")
+        ).collect()
+        t0 = time.time()
+        row = (
+            remove_duplicate_spans(docs, k=k)
+            .agg(
+                F.sum("n_tokens_removed").alias("removed"),
+                F.count(F.lit(1)).alias("docs"),
+            )
+            .collect()[0]
+        )
+        dt = time.time() - t0
+        return {
+            "cpus": cpus,
+            "sec": round(dt, 3),
+            "docs": row["docs"],
+            "tokens_removed": int(row["removed"]),
+            "docs_per_sec": round(row["docs"] / dt, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--pairs", type=int, default=1)
+    ap.add_argument("--low", type=int, default=1)
+    ap.add_argument("--high", type=int, default=4)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--out", default="BENCH/span_dedup_500k.json")
+    args = ap.parse_args()
+
+    pre = [round(host_fault_mbps(), 1) for _ in range(3)]
+    pre_median = sorted(pre)[1]
+    print(f"pre-probe fault MB/s: {pre} median {pre_median}", flush=True)
+    if pre_median < HEALTH_FLOOR_MBPS:
+        print("window collapsed at pre-probe; not attempting", flush=True)
+        return 1
+
+    corpus_path = _gen_corpus(args.docs)
+    hw = hw_cpu_scaling(args.low, args.high)
+    hw_mem = hw_mem_scaling(args.low, args.high)
+
+    pair_rows = []
+    accepted = 0
+    for i in range(args.pairs * 3):
+        if accepted >= args.pairs:
+            break
+        a, b = (args.low, args.high) if i % 2 == 0 else (args.high, args.low)
+        schedule = (a, b, b, a)
+        runs: dict[int, list[dict]] = {args.low: [], args.high: []}
+        health: dict[int, list[float]] = {args.low: [], args.high: []}
+        with _ArmProber() as prober:
+            for cpus in schedule:
+                t0 = time.time()
+                runs[cpus].append(_run_arm(cpus, corpus_path, args.k))
+                time.sleep(0.1)
+                health[cpus] += prober.window(t0, time.time())
+        lo = min(runs[args.low], key=lambda r: r["sec"])
+        hi = min(runs[args.high], key=lambda r: r["sec"])
+        med = {
+            c: (statistics.median(s) if s else 0.0) for c, s in health.items()
+        }
+        spread = {
+            c: (
+                max(r["sec"] for r in rs) / min(r["sec"] for r in rs)
+                if len(rs) > 1
+                else 1.0
+            )
+            for c, rs in runs.items()
+        }
+        reproducible = all(s <= ARM_REPRO_MAX for s in spread.values())
+        ok = (
+            all(m >= HEALTH_FLOOR_MBPS for m in med.values()) and reproducible
+        )
+        accepted += ok
+        speedup = lo["sec"] / hi["sec"]
+        row = {
+            "pair": i,
+            "schedule": ",".join(str(c) for c in schedule),
+            "sec_runs": {
+                str(c): [r["sec"] for r in rs] for c, rs in runs.items()
+            },
+            "low": lo,
+            "high": hi,
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(
+                speedup / (args.high / args.low), 3
+            ),
+            "arm_fault_median": {str(c): round(m, 1) for c, m in med.items()},
+            "arm_run_spread": {str(c): round(s, 3) for c, s in spread.items()},
+            "arm_runs_reproducible": reproducible,
+            "healthy": ok,
+        }
+        pair_rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    kept = [r for r in pair_rows if r["healthy"]]
+    record = {
+        "mode": (
+            f"remove_duplicate_spans k={args.k} at {args.docs} docs, "
+            f"local[{args.low}] vs local[{args.high}], paired protocol"
+        ),
+        "n_docs": args.docs,
+        "k": args.k,
+        "pairs": pair_rows,
+        "pairs_healthy": len(kept),
+        "scaling_efficiency": (
+            round(
+                statistics.median(r["scaling_efficiency"] for r in kept), 3
+            )
+            if kept
+            else None
+        ),
+        "hw_cpu_ceiling": hw,
+        "hw_mem_scaling": hw_mem,
+        "admission_params": {
+            "health_floor_mbps": HEALTH_FLOOR_MBPS,
+            "arm_repro_max": ARM_REPRO_MAX,
+        },
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps({k: v for k, v in record.items() if k != "pairs"}))
+    return 0 if kept else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
