@@ -137,3 +137,83 @@ def test_dup_ngram_ratio_matches_python(spark, texts, n):
         grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
         want = 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
         assert abs(got[i] - want) < 1e-12, (t, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# substring-span dedup vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=18).map(" ".join),
+    min_size=2,
+    max_size=7,
+)
+
+
+def _ref_span_dedup(texts, k):
+    """Independent reference: brute-force window content matching, global
+    first-occurrence keep, interval merge, position-filter rewrite."""
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    wins = [
+        (d, i, tuple(ts[i : i + k]))
+        for d, ts in toks.items()
+        for i in range(len(ts) - k + 1)
+    ]
+    from collections import Counter
+
+    cnt = Counter(w for _, _, w in wins)
+    first = {}
+    for d, i, w in sorted(wins):
+        first.setdefault(w, (d, i))
+    covered = {d: set() for d in toks}
+    for d, i, w in wins:
+        if cnt[w] > 1 and first[w] != (d, i):
+            covered[d].update(range(i, i + k))
+    spans = {}
+    for d, cov in covered.items():
+        out, run = [], []
+        for p in sorted(cov):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.append((run[0], run[-1]))
+                run = [p]
+        if run:
+            out.append((run[0], run[-1]))
+        spans[d] = out
+    cleaned = {
+        d: (
+            " ".join(
+                t for p, t in enumerate(ts) if p not in covered[d]
+            ),
+            len(covered[d]),
+        )
+        for d, ts in toks.items()
+    }
+    return spans, cleaned
+
+
+@given(_docs_strategy, st.integers(min_value=2, max_value=4))
+@settings(max_examples=12, deadline=None)
+def test_span_dedup_matches_python_reference(spark, texts, k):
+    from search_engine_trec_fair_ranking_19_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ref_spans, ref_clean = _ref_span_dedup(texts, k)
+    got_spans = {}
+    for r in dedup.duplicate_spans(df, k=k).collect():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert {d: sorted(v) for d, v in got_spans.items()} == {
+        d: v for d, v in ref_spans.items() if v
+    }
+    got_clean = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in dedup.remove_duplicate_spans(df, k=k).collect()
+    }
+    assert got_clean == ref_clean
