@@ -275,10 +275,15 @@ def _signatures_from_hashed(
                     [docid_arr, sig_arr], names=["doc_id", "sig"]
                 )
 
+    # the id column passes through the Arrow batch untouched, so the output
+    # schema follows the INPUT id type — webtext corpora key on url strings,
+    # test fixtures on longs; hardcoding long broke the former with an
+    # ArrowColumnVector accessor error at the first batch
+    id_type = hs_df.schema["doc_id"].dataType.simpleString()
     schema = (
-        "doc_id long, hs array<long>, sig array<long>"
+        f"doc_id {id_type}, hs array<long>, sig array<long>"
         if keep_shingles
-        else "doc_id long, sig array<long>"
+        else f"doc_id {id_type}, sig array<long>"
     )
     return _spread(hs_df).mapInArrow(gen, schema=schema)
 
@@ -568,8 +573,11 @@ def simhash_signatures(
                 [docid_arr, pa.array(out)], names=["doc_id", "simhash"]
             )
 
+    # like the MinHash kernel: the id rides the batch untouched, so the
+    # schema follows the input id type (url-string corpora included)
+    id_type = hashed_toks.schema["doc_id"].dataType.simpleString()
     return _spread(hashed_toks).mapInArrow(
-        gen, schema="doc_id long, simhash long"
+        gen, schema=f"doc_id {id_type}, simhash long"
     )
 
 

@@ -380,3 +380,25 @@ def test_remove_duplicate_spans_carries_columns(spark):
     }
     assert out[1] == ("a b c d e f", "en")
     assert out[2] == ("", "de")
+
+
+def test_minhash_and_simhash_accept_string_ids(spark):
+    # webtext corpora key on url STRINGS — the Arrow kernels must follow
+    # the input id type instead of hardcoding long (regression: the first
+    # string-id batch died with an ArrowColumnVector accessor error)
+    rows = [
+        ("https://a.example/x", "the quick brown fox jumps over the lazy dog"),
+        ("https://b.example/y", "the quick brown fox jumps over the lazy dog"),
+        ("https://c.example/z", "completely different text about spark joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dedup.minhash_dedup_pairs(
+        df, num_hashes=32, num_bands=16, threshold=0.5
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {
+        ("https://a.example/x", "https://b.example/y")
+    }
+    sim = dedup.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    assert {(r["a"], r["b"]) for r in sim} == {
+        ("https://a.example/x", "https://b.example/y")
+    }

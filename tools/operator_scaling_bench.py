@@ -1,20 +1,30 @@
-"""Substring-span dedup at 500k docs: absolute throughput + 1→4 scaling.
+"""Per-operator N→4N scaling at 500k docs: span dedup, MinHash-LSH dedup.
 
-Measures `dedup.remove_duplicate_spans` (find duplicated k-token windows
-corpus-wide, merge to spans, rewrite every document) on the 500k-doc
-synthetic webtext corpus under the repo's standard admission protocol
+The index build carries the north rule's criterion number
+(BENCH/BASELINE.md); this tool runs the SAME paired admission protocol
 (tools/scaling_bench.py: cheap pre-probe, in-flight fault probes, ABBA
-pairs, within-arm reproducibility gate, hardware ceilings) at the
-local[1] → local[4] split — the faithful N→4N-executor analog per
-BENCH/BASELINE.md.
+pairs, within-arm reproducibility gate, hardware ceilings) over the other
+heavyweight operator families, at the local[1] → local[4] split — the
+faithful N→4N-executor analog — so the scaling claim doesn't rest on one
+operator's key distribution:
 
-The operator is 2 shuffles over token-count-sized rows (one per window
-hash, one per doc) plus the map-side rewrite, so its scaling is a direct
-probe of the exchange path with a different key distribution than the
-index build (window hashes are near-unique; postings terms are Zipfian).
+  * ``--op span_dedup`` — `dedup.remove_duplicate_spans` (find duplicated
+    k-token windows corpus-wide, merge to spans, rewrite every document):
+    2 shuffles over token-count-sized rows keyed by near-unique window
+    hashes — the OPPOSITE key distribution of the build's Zipfian terms —
+    plus the map-side rewrite. All JVM.
+  * ``--op minhash`` — `dedup.minhash_dedup_pairs` (JVM shingle hashing →
+    Arrow-batched numpy signature kernel → band buckets → bucket join →
+    exact-Jaccard verify): the one heavyweight path where Python workers
+    do real per-row work, so its scaling probes the Arrow/Python-worker
+    boundary the JVM-only ops never touch.
 
-Usage: python tools/span_dedup_at_scale.py [--docs 500000] [--pairs 1]
-       [--k 16] [--out BENCH/span_dedup_500k.json]
+Both ops run over the synthetic corpus plus a deterministic 5%
+syndicated-copy fraction (same text, new url) so the duplicate-handling
+stages do real work — the generator's random docs share no long runs.
+
+Usage: python tools/operator_scaling_bench.py [--op span_dedup|minhash]
+       [--docs 500000] [--pairs 2] [--k 16] [--out BENCH/<op>_500k.json]
 """
 
 from __future__ import annotations
@@ -40,15 +50,23 @@ from scaling_bench import (  # noqa: E402
 )
 
 
-def _run_arm(cpus: int, corpus_path: str, k: int) -> dict:
-    """One span-dedup trial at local[cpus]: fresh context, tiny warmup
-    first (JIT + codegen for the window/agg pipeline), then the timed
-    full-corpus pass."""
+def _docs_with_dups(spark, corpus_path: str):
+    """Corpus + deterministic 5% syndicated-copy fraction (same text, new
+    url) — the generator's random docs share no long runs, which would
+    let duplicate-handling stages ride empty join sides."""
     from pyspark.sql import functions as F
 
-    from search_engine_trec_fair_ranking_19_spark.operators.dedup import (
-        remove_duplicate_spans,
+    base = spark.read.parquet(corpus_path).select(
+        F.col("url").alias("doc_id"), F.col("text")
     )
+    dups = base.filter(F.xxhash64("doc_id") % 20 == 0).select(
+        F.concat(F.col("doc_id"), F.lit("#syndicated")).alias("doc_id"),
+        "text",
+    )
+    return base.unionByName(dups)
+
+
+def _session(cpus: int, app: str):
     from search_engine_trec_fair_ranking_19_spark.session import get_spark
 
     extra = (
@@ -57,25 +75,28 @@ def _run_arm(cpus: int, corpus_path: str, k: int) -> dict:
         else None
     )
     spark = get_spark(
-        app_name=f"span-dedup-{cpus}",
+        app_name=f"{app}-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_arm_span_dedup(cpus: int, corpus_path: str, k: int) -> dict:
+    """One span-dedup trial at local[cpus]: fresh context, tiny warmup
+    first (JIT + codegen for the window/agg pipeline), then the timed
+    full-corpus pass."""
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    spark = _session(cpus, "span-dedup")
     try:
-        base = spark.read.parquet(corpus_path).select(
-            F.col("url").alias("doc_id"), F.col("text")
-        )
-        # the generator's random docs share no long runs, which would let
-        # the removal rewrite ride an empty join side — inject a
-        # deterministic 5% syndicated-copy fraction (same text, new url)
-        # so the span set, island merge, and rewrite all do real work
-        dups = base.filter(F.xxhash64("doc_id") % 20 == 0).select(
-            F.concat(F.col("doc_id"), F.lit("#syndicated")).alias("doc_id"),
-            "text",
-        )
-        docs = base.unionByName(dups)
+        docs = _docs_with_dups(spark, corpus_path)
         warm = docs.limit(5000)
         remove_duplicate_spans(warm, k=k).agg(
             F.sum("n_tokens_removed")
@@ -101,15 +122,60 @@ def _run_arm(cpus: int, corpus_path: str, k: int) -> dict:
         spark.stop()
 
 
+def run_arm_minhash(cpus: int, corpus_path: str, k: int) -> dict:
+    """One MinHash-LSH near-dup sweep at local[cpus]: signatures (Arrow
+    numpy kernel) → bands → bucket join → exact-Jaccard verify. Warmup
+    spins up the Python workers + Arrow serde before the timed pass.
+    ``k`` is unused (the op has its own 64-hash/16-band config — the
+    bench-standard parameters bench.py times at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    spark = _session(cpus, "minhash")
+    try:
+        docs = _docs_with_dups(spark, corpus_path)
+        warm = docs.limit(5000)
+        minhash_dedup_pairs(
+            warm, num_hashes=64, num_bands=16, threshold=0.5
+        ).count()
+        n_docs = docs.count()
+        t0 = time.time()
+        n_pairs = minhash_dedup_pairs(
+            docs, num_hashes=64, num_bands=16, threshold=0.5
+        ).count()
+        dt = time.time() - t0
+        return {
+            "cpus": cpus,
+            "sec": round(dt, 3),
+            "docs": n_docs,
+            "pairs": n_pairs,
+            "docs_per_sec": round(n_docs / dt, 1),
+        }
+    finally:
+        spark.stop()
+
+
+OPS = {
+    "span_dedup": run_arm_span_dedup,
+    "minhash": run_arm_minhash,
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--op", choices=sorted(OPS), default="span_dedup")
     ap.add_argument("--docs", type=int, default=500_000)
     ap.add_argument("--pairs", type=int, default=1)
     ap.add_argument("--low", type=int, default=1)
     ap.add_argument("--high", type=int, default=4)
     ap.add_argument("--k", type=int, default=16)
-    ap.add_argument("--out", default="BENCH/span_dedup_500k.json")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    out = args.out or f"BENCH/{args.op}_{args.docs // 1000}k.json"
+    run_arm = OPS[args.op]
 
     pre = [round(host_fault_mbps(), 1) for _ in range(3)]
     pre_median = sorted(pre)[1]
@@ -134,7 +200,7 @@ def main() -> int:
         with _ArmProber() as prober:
             for cpus in schedule:
                 t0 = time.time()
-                runs[cpus].append(_run_arm(cpus, corpus_path, args.k))
+                runs[cpus].append(run_arm(cpus, corpus_path, args.k))
                 time.sleep(0.1)
                 health[cpus] += prober.window(t0, time.time())
         lo = min(runs[args.low], key=lambda r: r["sec"])
@@ -179,9 +245,10 @@ def main() -> int:
     kept = [r for r in pair_rows if r["healthy"]]
     record = {
         "mode": (
-            f"remove_duplicate_spans k={args.k} at {args.docs} docs, "
+            f"{args.op} at {args.docs} docs, "
             f"local[{args.low}] vs local[{args.high}], paired protocol"
         ),
+        "op": args.op,
         "n_docs": args.docs,
         "k": args.k,
         "pairs": pair_rows,
@@ -201,7 +268,7 @@ def main() -> int:
         },
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open(args.out, "w") as f:
+    with open(out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps({k: v for k, v in record.items() if k != "pairs"}))
     return 0 if kept else 1
