@@ -8,6 +8,9 @@ writing PySpark:
 
     python -m search_engine_trec_fair_ranking_19_spark build \
         --input /data/webtext.parquet --index /data/index
+    # multi-crawl input: index only the newest snapshot of each url
+    python -m search_engine_trec_fair_ranking_19_spark build \
+        --input /data/crawls.parquet --index /data/index --latest-snapshot
     python -m search_engine_trec_fair_ranking_19_spark query \
         --index /data/index "spark shuffle partition" --k 10 --model bm25
     python -m search_engine_trec_fair_ranking_19_spark evaluate \
@@ -89,6 +92,15 @@ def cmd_build(spark: SparkSession, args) -> int:
     from .streaming.incremental import build_index_segmented
 
     webtext = _load_input(spark, args.input)
+    if getattr(args, "latest_snapshot", False):
+        from .operators.curate import latest_snapshot
+
+        if "warc_ts" not in webtext.columns:
+            raise SystemExit(
+                "--latest-snapshot needs a warc_ts column; got "
+                f"{webtext.columns}"
+            )
+        webtext = latest_snapshot(webtext)
     if args.segments and args.segments > 1:
         tables = build_index_segmented(
             spark, webtext, args.index, args.segments, _config(args)
@@ -223,7 +235,17 @@ def cmd_prepare(spark: SparkSession, args) -> int:
     from .functions.urls import url_host
     from .operators.curate import prepare_training_set, write_training_set
 
-    docs, _ = _ensure_doc_id(spark.read.parquet(args.input), args.input)
+    raw = spark.read.parquet(args.input)
+    if getattr(args, "latest_snapshot", False):
+        from .operators.curate import latest_snapshot
+
+        if "warc_ts" not in raw.columns or "url" not in raw.columns:
+            raise SystemExit(
+                "--latest-snapshot needs url and warc_ts columns; got "
+                f"{raw.columns}"
+            )
+        raw = latest_snapshot(raw)
+    docs, _ = _ensure_doc_id(raw, args.input)
     if "source" not in docs.columns:
         # webtext shape: the per-source diversity cap groups by host
         docs = docs.withColumn(
@@ -299,6 +321,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--input", required=True)
     b.add_argument("--index", required=True)
     b.add_argument("--resume", action="store_true")
+    b.add_argument(
+        "--latest-snapshot",
+        action="store_true",
+        help="collapse a multi-crawl input to its newest warc_ts snapshot "
+        "per url before anything else",
+    )
     b.add_argument("--segments", type=int, default=0, help=">1 = checkpoint-resumable segmented build")
     b.add_argument("--no-stemmer", action="store_true")
     b.add_argument("--no-stopwords", action="store_true")
@@ -344,6 +372,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--out", required=True)
     t.add_argument("--eval", default=None, help="eval/benchmark parquet to decontaminate against")
     t.add_argument("--decontaminate-n", type=int, default=13)
+    t.add_argument(
+        "--latest-snapshot",
+        action="store_true",
+        help="collapse a multi-crawl input to its newest warc_ts snapshot "
+        "per url before anything else",
+    )
     t.add_argument("--redact", action="store_true", help="mask emails/IPs/phones")
     t.add_argument(
         "--clean-lines",

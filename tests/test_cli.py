@@ -235,3 +235,42 @@ def test_cli_prepare_clean_lines(spark, tmp_path, capsys):
     # the cross-doc footer line is gone; doc 3's duplicated line collapsed
     assert "footer" not in text
     assert text.count("three") == 1
+
+
+def test_cli_build_latest_snapshot(spark, tmp_path, capsys):
+    # two crawls of the same url: --latest-snapshot indexes only the newer
+    # extraction, so n_docs counts pages, not crawl rows
+    crawl = str(tmp_path / "crawl.parquet")
+    index = str(tmp_path / "snap_index")
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        [
+            ("https://a.example/p", 100, _PAD + " stale words here"),
+            ("https://a.example/p", 200, _PAD + " fresh words here"),
+            ("https://b.example/q", 150, _PAD + " only crawl of this page"),
+        ],
+        "url string, ts long, text string",
+    ).withColumn("warc_ts", F.timestamp_seconds(F.col("ts"))).drop(
+        "ts"
+    ).write.mode("overwrite").parquet(crawl)
+
+    out = _run(
+        spark,
+        capsys,
+        ["build", "--input", crawl, "--index", index, "--latest-snapshot"],
+    )
+    assert json.loads(out[-1])["n_docs"] == 2
+
+    hits = _run(
+        spark,
+        capsys,
+        ["query", "--index", index, "fresh", "--model", "existential"],
+    )
+    assert any("a.example" in h for h in hits)
+    stale = _run(
+        spark,
+        capsys,
+        ["query", "--index", index, "stale", "--model", "existential"],
+    )
+    assert not any("a.example" in h for h in stale)

@@ -203,6 +203,10 @@ def main() -> int:
                 runs[cpus].append(run_arm(cpus, corpus_path, args.k))
                 time.sleep(0.1)
                 health[cpus] += prober.window(t0, time.time())
+        # same-window hardware ceilings: the tool-start measurement can be
+        # minutes stale by now, and the stream ceiling is the binding one
+        # for bandwidth-bound kernels (BENCH/scaling_2to8_r4.json lesson)
+        pair_hw_mem = hw_mem_scaling(args.low, args.high)
         lo = min(runs[args.low], key=lambda r: r["sec"])
         hi = min(runs[args.high], key=lambda r: r["sec"])
         med = {
@@ -238,6 +242,7 @@ def main() -> int:
             "arm_run_spread": {str(c): round(s, 3) for c, s in spread.items()},
             "arm_runs_reproducible": reproducible,
             "healthy": ok,
+            "pair_hw_mem_scaling": pair_hw_mem,
         }
         pair_rows.append(row)
         print(json.dumps(row), flush=True)
