@@ -158,9 +158,72 @@ def run_arm_minhash(cpus: int, corpus_path: str, k: int) -> dict:
         spark.stop()
 
 
+def run_arm_prepare(cpus: int, corpus_path: str, k: int) -> dict:
+    """One full prepare_training_set pass at local[cpus]: decontaminate
+    (1%-of-corpus eval set) → curate (lang → quality → exact dedup →
+    near-dup clusters over MinHash-LSH pairs) → redact → doc-level split
+    → chunk. The composed raw-crawl → training-chunks pipeline, i.e. the
+    thing a 100 TB training-data run actually executes end-to-end.
+
+    doc_id = xxhash64(url): prepare's split/cap bookkeeping needs a
+    numeric id, and the hash is deterministic and parallel (no global
+    row_number window in a bench arm). ``k`` is unused."""
+    from pyspark.sql import functions as F
+
+    from search_engine_trec_fair_ranking_19_spark.operators.curate import (
+        prepare_training_set,
+    )
+    from search_engine_trec_fair_ranking_19_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    spark = _session(cpus, "prepare")
+    try:
+        docs = _docs_with_dups(spark, corpus_path).select(
+            F.xxhash64("doc_id").alias("doc_id"),
+            "text",
+            F.lit("web").alias("source"),
+        )
+        eval_df = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+
+        def compose(frame):
+            return prepare_training_set(
+                frame,
+                split_weights={"train": 0.9, "val": 0.1},
+                max_len=512,
+                eval_df=eval_df.limit(500) if frame is not docs else eval_df,
+                redact=True,
+                langs=("en", "unk"),
+                min_quality=0.0,
+                pairs=minhash_dedup_pairs(
+                    frame, num_hashes=64, num_bands=16, threshold=0.5
+                ),
+            ).agg(
+                F.count(F.lit(1)).alias("chunks"),
+                F.sum("n_tokens").alias("tokens"),
+            )
+
+        compose(docs.limit(5000)).collect()  # warmup: JIT + Python workers
+        n_docs = docs.count()
+        t0 = time.time()
+        row = compose(docs).collect()[0]
+        dt = time.time() - t0
+        return {
+            "cpus": cpus,
+            "sec": round(dt, 3),
+            "docs": n_docs,
+            "chunks": int(row["chunks"]),
+            "tokens": int(row["tokens"]),
+            "docs_per_sec": round(n_docs / dt, 1),
+        }
+    finally:
+        spark.stop()
+
+
 OPS = {
     "span_dedup": run_arm_span_dedup,
     "minhash": run_arm_minhash,
+    "prepare": run_arm_prepare,
 }
 
 
