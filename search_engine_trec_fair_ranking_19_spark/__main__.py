@@ -95,9 +95,9 @@ def cmd_build(spark: SparkSession, args) -> int:
     if getattr(args, "latest_snapshot", False):
         from .operators.curate import latest_snapshot
 
-        if "warc_ts" not in webtext.columns:
+        if "warc_ts" not in webtext.columns or "url" not in webtext.columns:
             raise SystemExit(
-                "--latest-snapshot needs a warc_ts column; got "
+                "--latest-snapshot needs url and warc_ts columns; got "
                 f"{webtext.columns}"
             )
         webtext = latest_snapshot(webtext)

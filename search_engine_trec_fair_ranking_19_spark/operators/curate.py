@@ -370,10 +370,12 @@ def latest_snapshot(
     (url, warc_ts, html, text, ...); indexing or training on the raw table
     double-counts every recrawled page and lets stale extractions shadow
     fresh ones. This keeps exactly ONE row per ``key_col``: the max
-    ``ts_col``, ties broken by descending ``tiebreak_col`` so the survivor
-    is a pure function of the data (two engines / two cluster sizes /
-    a retried stage all keep the identical row — same determinism rule as
-    :func:`cap_per_group`).
+    ``ts_col``, ties broken by descending ``tiebreak_col`` and finally by a
+    64-bit hash over ALL columns, so the survivor is a pure function of the
+    data (two engines / two cluster sizes / a retried stage all keep the
+    identical row — same determinism rule as :func:`cap_per_group`).  Rows
+    tied on every key INCLUDING the full-row hash are byte-identical for
+    hashing purposes, so which physical row survives is unobservable.
 
     Scale shape: ``row_number() == 1`` over a (key, ts desc) window is
     rewritten by Spark into WindowGroupLimit — each input partition keeps
@@ -383,7 +385,12 @@ def latest_snapshot(
     along untouched (the html binary is moved once, never compared).
     """
     w = Window.partitionBy(key_col).orderBy(
-        F.col(ts_col).desc_nulls_last(), F.col(tiebreak_col).desc_nulls_last()
+        F.col(ts_col).desc_nulls_last(),
+        F.col(tiebreak_col).desc_nulls_last(),
+        # full-row hash: removes the last partition-order dependence when
+        # (ts, tiebreak) don't distinguish (e.g. identical recrawl text
+        # with differing html bytes).  xxhash64 covers binary columns.
+        F.xxhash64(*df.columns).desc(),
     )
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -43,14 +43,26 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Groups of byte-identical (normalized) docs: (fp, doc_id, canonical_id).
 
     canonical_id = min id in the group; only groups with >1 member returned.
-    One shuffle on the md5 fingerprint."""
-    w = Window.partitionBy("fp")
-    return (
-        df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
-        .withColumn("group_size", F.count(F.lit(1)).over(w))
+
+    Skew-proof shape: a `Window.partitionBy(fp)` would put EVERY row of a
+    corpus-wide mega-duplicated fingerprint (10⁸ byte-identical pages) into
+    one task.  Instead: two-phase `groupBy(fp).agg(count, min)` — the
+    map-side partial agg collapses a hot fp to one row per input partition
+    before the exchange — then a join back, which AQE's skew-join can split
+    (and broadcasts outright when the >1-member group table is small)."""
+    fps = df.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    groups = (
+        fps.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
         .filter(F.col("group_size") > 1)
-        .select("fp", "doc_id", "canonical_id", "group_size")
+    )
+    return fps.join(groups, "fp").select(
+        "fp", "doc_id", "canonical_id", "group_size"
     )
 
 
@@ -871,9 +883,12 @@ def duplicate_spans(
          is `xxhash64` over its k token hashes via O(1) `element_at`
          (same O(L·k) trick as `_hashed_shingles` — no O(L²) slice+concat,
          no window string ever built);
-      2. per-hash occurrence stats via ONE window over `whash` (count +
-         min (doc_id, start) struct — no self-join, the exchange is paid
-         once);
+      2. per-hash occurrence stats via `groupBy(whash).agg(count,
+         min(struct))` + join back — NOT a `Window.partitionBy(whash)`:
+         a corpus-wide boilerplate window (a licence block on 10⁸ pages)
+         would land every instance in one window task, while the groupBy's
+         map-side partial agg collapses it to one row per input partition
+         and AQE can skew-split / broadcast the (rare, dup-only) join back;
       3. island merge via ONE window over (doc_id, start): lag + running
          sum, then `groupBy(doc_id, island)`, which reuses the doc_id
          exchange for the partial agg.
@@ -902,15 +917,18 @@ def duplicate_spans(
             )
         ).alias("start", "whash"),
     )
-    per_hash = Window.partitionBy("whash")
-    dup = (
-        wins.withColumn("n_inst", F.count(F.lit(1)).over(per_hash))
-        .withColumn(
-            "first", F.min(F.struct("doc_id", "start")).over(per_hash)
+    hash_stats = (
+        wins.groupBy("whash")
+        .agg(
+            F.count(F.lit(1)).alias("n_inst"),
+            F.min(F.struct("doc_id", "start")).alias("first"),
         )
+        .filter(F.col("n_inst") > 1)
+    )
+    dup = (
+        wins.join(hash_stats, "whash")
         .filter(
-            (F.col("n_inst") > 1)
-            & ~(
+            ~(
                 (F.col("doc_id") == F.col("first.doc_id"))
                 & (F.col("start") == F.col("first.start"))
             )

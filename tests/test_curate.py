@@ -289,7 +289,7 @@ def test_latest_snapshot_plan_is_window_group_limit(spark):
 
 
 def test_prepare_training_set_dedup_spans(spark):
-    # doc 1 and doc 2 share a 6-token run; with dedup_spans_k=6 the second
+    # doc 1 and doc 2 share an 8-token run; with dedup_spans_k=8 the second
     # occurrence is deleted before chunking, the first is kept intact
     shared = "the one and two of three in four"
     docs = spark.createDataFrame(

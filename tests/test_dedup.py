@@ -28,6 +28,34 @@ def test_exact_duplicates(spark):
     assert all(r["group_size"] == 3 for r in got)
 
 
+def test_exact_duplicates_plan_no_hot_key_window(spark):
+    # skew guard: per-fp stats must come from groupBy+join (partial agg
+    # collapses a mega-duplicated fingerprint map-side), never from a
+    # Window.partitionBy(fp) that serializes the hot key into one task
+    plan = (
+        dedup.exact_duplicates(_docs_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_duplicate_spans_plan_windows_only_by_doc(spark):
+    # per-whash occurrence stats must be groupBy+join for the same skew
+    # reason; the only windows left are the per-doc island merge
+    plan = (
+        dedup.duplicate_spans(_docs_df(spark), k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(doc_id" in line, line
+    assert "windowspecdefinition(whash" not in plan
+
+
 def test_ngram_jaccard_exact(spark):
     pairs = dedup.ngram_jaccard_pairs(
         _docs_df(spark), n=3, threshold=0.5
