@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,7 +32,7 @@ from pyspark.sql import types as T
 
 from ..analysis.expansion import expand_query
 from ..config import EngineConfig
-from ..functions.codec import decode_block
+from ..functions.codec import decode_blocks_concat
 from ..oracle.engine import merge_terms
 from ..session import local_rows_df as _local_df
 from .index_build import IndexTables
@@ -53,13 +54,30 @@ def _decode_udf():
     if _decode_udf_cached is None:
 
         def decode(gaps: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.DataFrame:
-            out = {"docids": [], "tfs": [], "dls": []}
-            for g, t, d in zip(gaps, tfs, dls):
-                docids, tf_arr, dl_arr = decode_block(bytes(g), bytes(t), bytes(d))
-                out["docids"].append(docids)
-                out["tfs"].append(tf_arr)
-                out["dls"].append(dl_arr)
-            return pd.DataFrame(out)
+            # whole-batch decode: concat every block's buffer per stream and
+            # run ONE vectorized varint+delta pass (decode_blocks_concat) —
+            # no per-block Python beyond the C-speed join/len loop.
+            def _offs(s: pd.Series) -> np.ndarray:
+                off = np.zeros(len(s) + 1, dtype=np.int64)
+                np.cumsum(
+                    np.fromiter((len(b) for b in s), dtype=np.int64, count=len(s)),
+                    out=off[1:],
+                )
+                return off
+
+            docids, tf_arr, dl_arr, voff = decode_blocks_concat(
+                b"".join(gaps), _offs(gaps),
+                b"".join(tfs), _offs(tfs),
+                b"".join(dls), _offs(dls),
+            )
+            cuts = voff[1:-1]
+            return pd.DataFrame(
+                {
+                    "docids": np.split(docids, cuts),
+                    "tfs": np.split(tf_arr, cuts),
+                    "dls": np.split(dl_arr, cuts),
+                }
+            )
 
         _decode_udf_cached = F.pandas_udf(decode, _DECODE_SCHEMA)
     return _decode_udf_cached
