@@ -165,6 +165,21 @@ def _per_query_df_and_summary(
         "min_seconds": min(times) if times else 0.0,
         "max_seconds": max(times) if times else 0.0,
     }
+    # "Average per <rate> results" (`ThemisEval.java:169-199`): normalize the
+    # total search time to a fixed result count so runs over different corpus
+    # sizes are comparable — rate = min(total results, 1M), time scaled by
+    # rate/total (total time verbatim when no query returned anything).
+    total_results = sum(r[4] for r in rows)
+    total_seconds = sum(times)
+    results_rate = min(total_results, 1_000_000)
+    summary["total_seconds"] = total_seconds
+    summary["total_results"] = total_results
+    summary["results_rate"] = results_rate
+    summary["avg_seconds_per_rate_results"] = (
+        total_seconds
+        if total_results == 0
+        else total_seconds / total_results * results_rate
+    )
     return per_query, summary
 
 

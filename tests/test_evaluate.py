@@ -71,6 +71,18 @@ def test_evaluate_matches_oracle_metrics(spark, tmp_path):
     assert summary["n_queries"] == 3
     assert 0.0 <= summary["avg_avep"] <= 1.0
 
+    # "Average per <rate> results" summary (`ThemisEval.java:169-199`):
+    # rate = min(total results, 1M); time = total * rate / total_results
+    total_results = sum(r["n_results"] for r in got.values())
+    assert summary["total_results"] == total_results
+    assert summary["results_rate"] == min(total_results, 1_000_000)
+    assert summary["avg_seconds_per_rate_results"] == pytest.approx(
+        summary["total_seconds"] / total_results * summary["results_rate"]
+    )
+    assert summary["total_seconds"] == pytest.approx(
+        summary["avg_seconds"] * summary["n_queries"]
+    )
+
 
 def test_evaluate_batch_matches_sequential(spark, tmp_path):
     n = 200
