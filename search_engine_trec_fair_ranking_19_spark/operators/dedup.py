@@ -877,8 +877,8 @@ def duplicate_spans(
     0-based, span_end INCLUSIVE; overlapping or adjacent duplicated
     windows (next start ≤ prev start + k) merge into one span.
 
-    Spark-first plan — 2 shuffles total, both on token-count-sized rows,
-    no Python anywhere:
+    Spark-first plan — 3 exchanges (two on token-count-sized whash rows,
+    one on doc_id rows), no Python anywhere:
       1. window instances: per-token `xxhash64`, then each window's hash
          is `xxhash64` over its k token hashes via O(1) `element_at`
          (same O(L·k) trick as `_hashed_shingles` — no O(L²) slice+concat,

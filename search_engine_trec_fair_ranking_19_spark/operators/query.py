@@ -22,6 +22,7 @@ unmatched terms, exactly matching the reference's math.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -81,6 +82,116 @@ def _decode_udf():
 
         _decode_udf_cached = F.pandas_udf(decode, _DECODE_SCHEMA)
     return _decode_udf_cached
+
+
+_SQL_DECODE_NAME = "__themis_decode_blocks"
+_sql_decode_sessions: set[int] = set()
+
+
+def _ensure_sql_decode(spark: SparkSession) -> None:
+    """Register the block-decode pandas UDF for SQL use (once per session)."""
+    if id(spark) not in _sql_decode_sessions:
+        spark.udf.register(_SQL_DECODE_NAME, _decode_udf())
+        _sql_decode_sessions.add(id(spark))
+
+
+# terms eligible for inlining into a SQL string literal: anything except
+# quote/backslash/control chars (the parser's escape machinery). Query
+# tokenization splits on both quote chars, so real queries always qualify;
+# anything exotic just takes the Column-API path.
+_SQL_SAFE_TERM = re.compile(r"[^'\"\\\x00-\x1f]+\Z")
+
+
+def _sql_double(v: float) -> str:
+    """Bit-exact double literal (repr → correctly-rounded decimal cast)."""
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        name = "NaN" if f != f else ("Infinity" if f > 0 else "-Infinity")
+        return f"CAST('{name}' AS DOUBLE)"
+    return f"CAST({f!r} AS DOUBLE)"
+
+
+def _bm25_topk_sql(
+    spark: SparkSession,
+    tables: IndexTables,
+    pq: PreparedQuery,
+    config: EngineConfig,
+    k: int,
+) -> list | None:
+    """Single-statement SQL twin of matched_postings → _bm25_raw → top-k.
+
+    The Column-API path spends ~0.2 s/query on ~260 Py4J round-trips of
+    incremental plan construction — more than the sf0.1 EXECUTION time of
+    the query. Building the identical logical plan as ONE SQL string is two
+    round-trips (sql + collect). Expression tree mirrors `_bm25_raw`
+    operation-for-operation (same literals via repr, same associativity),
+    so scores are bit-identical — the bm25 gate entries pin that. Returns
+    None when a term can't be safely inlined (→ caller falls back)."""
+    terms = [t for t, _ in pq.terms]
+    if not all(_SQL_SAFE_TERM.match(t) for t in terms):
+        return None
+    _ensure_sql_decode(spark)
+    view = tables.postings_view(spark)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    wmap = "map(%s)" % ", ".join(
+        f"'{t}', {_sql_double(w)}" for t, w in pq.terms
+    )
+    imap = "map(%s)" % ", ".join(
+        f"'{t}', {_sql_double(i)}" for (t, _), i in zip(pq.terms, pq.idfs)
+    )
+    k1, b = config.bm25_k1, config.bm25_b
+    f_expr = f"(tf * {wmap}[term])"
+    b_expr = (
+        f"({_sql_double(k1)} * ({_sql_double(1.0 - b)}"
+        f" + {_sql_double(b)} * dl / {_sql_double(pq.avgdl)}))"
+    )
+    contrib = f"{imap}[term] * ({f_expr} * {_sql_double(k1 + 1.0)} / ({f_expr} + {b_expr}))"
+    sql = f"""
+        WITH dec AS (
+          SELECT term, {_SQL_DECODE_NAME}(gaps, tfs, dls) AS d
+          FROM {view} WHERE term IN ({in_list})
+        ),
+        posting AS (
+          SELECT term, p.docid AS docid, d.d.tfs[p.i] AS tf, d.d.dls[p.i] AS dl
+          FROM dec d LATERAL VIEW posexplode(d.d.docids) p AS i, docid
+        )
+        SELECT docid, sum({contrib}) + {_sql_double(sum(pq.idfs))} AS raw
+        FROM posting GROUP BY docid
+        ORDER BY raw DESC, docid ASC LIMIT {int(k)}
+    """
+    return spark.sql(sql).collect()
+
+
+def _bm25_exhaustive(
+    spark: SparkSession,
+    tables: IndexTables,
+    pq: PreparedQuery,
+    config: EngineConfig,
+    k: int | None,
+    pagerank_weight: float,
+) -> DataFrame:
+    """Exhaustive BM25+ scoring shared by bm25_topk and the WAND router's
+    fallbacks: SQL single-statement fast path when eligible (bounded k, no
+    blend), else the Column-API plan + _finalize."""
+    if k is not None and pagerank_weight == 0.0:
+        rows = _bm25_topk_sql(spark, tables, pq, config, k)
+        if rows is not None:
+            if not rows:
+                return _local_df(spark, [], TOPK_SCHEMA)
+            max_raw = rows[0]["raw"]
+            if max_raw <= 0.0:
+                # the reference's running max starts at 0 and is forced to 1
+                # when nothing exceeds it (OkapiBM25P.java:91-94)
+                max_raw = 1.0
+            return _local_df(
+                spark,
+                [(r["docid"], r["raw"] / max_raw) for r in rows],
+                TOPK_SCHEMA,
+            )
+    posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
+    return _finalize(
+        spark, tables, _bm25_raw(spark, posting, pq, config), k, pagerank_weight
+    )
 
 
 @dataclass
@@ -292,9 +403,7 @@ def bm25_topk(
     pq = prepare_query(spark, tables, query, config, expander=expander)
     if not pq.terms:
         return _local_df(spark, [], TOPK_SCHEMA)
-    posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
-    raw = _bm25_raw(spark, posting, pq, config)
-    return _finalize(spark, tables, raw, k, pagerank_weight)
+    return _bm25_exhaustive(spark, tables, pq, config, k, pagerank_weight)
 
 
 def _bm25_raw(
@@ -735,11 +844,7 @@ def bm25_topk_wand(
     if pagerank_weight != 0.0:
         if stats is not None:
             stats["fallback"] = "exhaustive_pagerank_blend"
-        posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
-        return _finalize(
-            spark, tables, _bm25_raw(spark, posting, pq, config), k,
-            pagerank_weight,
-        )
+        return _bm25_exhaustive(spark, tables, pq, config, k, pagerank_weight)
     # routing (measured, BENCH/wand_crossover.json): pruning pays only when
     # BOTH the decode volume clears the crossover AND the query is selective
     # — its rare terms (df ≤ N/divisor) must cover ≥ k docs so θ can rise
@@ -753,10 +858,7 @@ def bm25_topk_wand(
         # pruning overhead > decode cost, or θ cannot rise — exhaustive
         if stats is not None:
             stats["fallback"] = "exhaustive"
-        posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
-        return _finalize(
-            spark, tables, _bm25_raw(spark, posting, pq, config), k, 0.0
-        )
+        return _bm25_exhaustive(spark, tables, pq, config, k, 0.0)
     k1, b = config.bm25_k1, config.bm25_b
     sum_idf = sum(pq.idfs)
     terms = [t for t, _ in pq.terms]

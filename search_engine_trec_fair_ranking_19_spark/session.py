@@ -6,6 +6,8 @@ import contextlib
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.types import _parse_datatype_string
 
 
 @contextlib.contextmanager
@@ -29,17 +31,81 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]):
                 spark.conf.set(k, prev)
 
 
-def local_rows_df(spark: SparkSession, rows, schema):
-    """Driver-built small DataFrame (≤ a few thousand rows) as a SINGLE-slice
-    relation.
+# SQL literal type per atomic field type eligible for the LocalRelation
+# fast path (strings excluded: escaping under configurable parser modes is
+# where correctness bugs live — they take the parallelize fallback)
+_VALUES_SQL_TYPE = {
+    "LongType": "BIGINT",
+    "IntegerType": "INT",
+    "ShortType": "SMALLINT",
+    "ByteType": "TINYINT",
+    "DoubleType": "DOUBLE",
+    "FloatType": "FLOAT",
+    "BooleanType": "BOOLEAN",
+}
 
-    ``spark.createDataFrame(list)`` parallelizes into defaultParallelism
-    slices, so every downstream action over a 20-row frame schedules ~n_cores
-    near-empty tasks, and a 1-row table write emits ~n_cores files (all but
-    one empty). Measured on the bench: 32 of the 33 tasks of a bm25 query
-    were the collect of its own k-row result frame. One slice → one task /
-    one file. Only for driver-sized data — anything that should fan out
-    (fixture corpora, media tables) repartitions explicitly instead."""
+
+def _values_cell(v, sql_t: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {sql_t})"
+    if sql_t == "BOOLEAN":
+        return "TRUE" if v else "FALSE"
+    if sql_t in ("DOUBLE", "FLOAT"):
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            name = "NaN" if f != f else ("Infinity" if f > 0 else "-Infinity")
+            return f"CAST('{name}' AS {sql_t})"
+        # repr() is the shortest string that parses back to exactly f; the
+        # decimal literal → DOUBLE cast is correctly rounded, so the value
+        # survives bit-exactly (rank-critical for score tie-breaks)
+        return f"CAST({f!r} AS {sql_t})"
+    return f"CAST({int(v)} AS {sql_t})"
+
+
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Driver-built small DataFrame (≤ a few thousand rows), cheapest shape.
+
+    Fast path (all-numeric/boolean schemas, ≤2000 rows): a SQL ``VALUES``
+    LocalRelation. Collecting one is an ``executeCollect`` on
+    LocalTableScan — ZERO Spark jobs, no pickle→JVM round-trip. Measured:
+    build+collect of a 10-row top-k frame is ~30 ms vs ~220 ms (and one
+    whole job) for the parallelize shape — that job used to be 1 of the 3
+    jobs of every single bm25 query.
+
+    Fallback (strings/arrays/larger data): ``parallelize(rows, 1)``.
+    ``spark.createDataFrame(list)`` would split into defaultParallelism
+    slices, so every downstream action over a 20-row frame schedules
+    ~n_cores near-empty tasks, and a 1-row table write emits ~n_cores files
+    (all but one empty). One slice → one task / one file. Only for
+    driver-sized data — anything that should fan out (fixture corpora,
+    media tables) repartitions explicitly instead."""
+    struct = (
+        _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    if isinstance(struct, T.StructType) and len(rows) <= 2000:
+        sql_types = [
+            _VALUES_SQL_TYPE.get(type(f.dataType).__name__)
+            for f in struct.fields
+        ]
+        if all(t is not None for t in sql_types):
+            names = ", ".join(f.name for f in struct.fields)
+            if rows:
+                body = ", ".join(
+                    "(%s)"
+                    % ", ".join(
+                        _values_cell(v, t) for v, t in zip(r, sql_types)
+                    )
+                    for r in rows
+                )
+                tail = ""
+            else:  # VALUES needs ≥1 row; LIMIT 0 folds to an empty relation
+                body = "(%s)" % ", ".join(
+                    f"CAST(NULL AS {t})" for t in sql_types
+                )
+                tail = " LIMIT 0"
+            return spark.sql(
+                f"SELECT * FROM VALUES {body} AS __local__({names}){tail}"
+            )
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, numSlices=1), schema
     )

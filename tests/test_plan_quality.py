@@ -240,19 +240,24 @@ def test_conjunctive_block_pruning_parity(spark, tmp_path):
     assert stats4["conjunctive"] == "exhaustive"
 
 
-def test_duplicate_spans_two_exchanges_no_join(spark):
-    """Substring-span dedup must stay a 2-shuffle plan: one whash exchange
-    shared by both per-content windows (count + first-instance min — a
-    self-join here would pay the token-sized exchange twice), one doc_id
-    exchange shared by the lag/sum windows AND the island partial agg."""
+def test_duplicate_spans_skew_proof_plan(spark):
+    """Substring-span dedup plan after the round-5 skew-proofing: per-whash
+    occurrence stats come from groupBy + join-back (map-side partial agg
+    collapses a corpus-wide boilerplate hash; AQE can skew-split the join),
+    NEVER from a Window.partitionBy(whash) that would serialize the hot
+    key's every instance into one task. Static shape: exactly 3 exchanges
+    (whash agg, whash join input, doc_id islands) and no whash window; at
+    runtime AQE broadcasts the tiny dup-only stats side."""
     from search_engine_trec_fair_ranking_19_spark.operators import dedup
 
     df = spark.createDataFrame(
         [(i, "a b c d e f g h i j") for i in range(4)],
         "doc_id long, text string",
     )
-    plan = _plan(dedup.duplicate_spans(df, k=4))
-    assert plan.count("Exchange") == 2
-    assert "Join" not in plan
-    # both window pairs share one Sort each (no re-sort between them)
-    assert plan.count("Sort ") == 2
+    d = dedup.duplicate_spans(df, k=4)
+    plan = _plan(d)
+    assert "windowspecdefinition(whash" not in plan
+    assert plan.count("Exchange") == 3
+    d.collect()
+    final = d._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final  # AQE: stats side broadcast

@@ -206,16 +206,24 @@ def test_wand_threshold_routes_small_queries_to_exhaustive(spark, tables, oracle
     assert "fallback" not in stats and "theta" in stats
 
 
-def test_topk_result_is_single_slice(spark, tables):
-    """Perf contract: a bounded top-k result is a driver-built local frame and
-    must be a SINGLE-slice relation — createDataFrame(list)'s default of
-    defaultParallelism slices made every caller collect() schedule ~n_cores
-    empty tasks (measured: 32 of 33 tasks of a bench bm25 query)."""
+def test_topk_result_is_driver_local(spark, tables):
+    """Perf contract: a bounded top-k result is a driver-built LocalRelation.
+    Collecting it must launch ZERO Spark jobs (executeCollect on
+    LocalTableScan — it used to be 1 of the 3 jobs of every bm25 query), and
+    distributed reuse must have no empty slices — createDataFrame(list)'s
+    default of defaultParallelism slices made every caller collect()
+    schedule ~n_cores empty tasks (measured: 32 of 33 tasks of a bench
+    bm25 query)."""
+    jst = spark.sparkContext._jsc.sc().statusTracker()
     for df in (
         q.bm25_topk(spark, tables, "web search", k=5),
         q.bm25_topk(spark, tables, "zzz-no-such-term", k=5),  # empty frame
     ):
-        assert df.rdd.getNumPartitions() == 1
+        n0 = len(jst.getJobIdsForGroup(None))
+        rows = df.collect()
+        assert len(jst.getJobIdsForGroup(None)) - n0 == 0, "collect ran a job"
+        # every slice non-empty (0 slices for the empty frame)
+        assert df.rdd.getNumPartitions() <= max(1, len(rows))
 
 
 # ---------------------------------------------------------------------------
