@@ -151,7 +151,7 @@ class IndexTables:
         self._df_cache = {}
         self._cs_cache = None
         self._vocab_map_state = None
-        self._postings_view_name = None  # re-register over the fresh cache
+        self._view_names = None  # re-register views over the fresh caches
 
     def doc_ids(self, spark):  # (docid long, url string)
         return self._cached(spark, "doc_ids")
@@ -168,18 +168,24 @@ class IndexTables:
     def pagerank(self, spark):  # (docid, pagerank)
         return self._cached(spark, "pagerank")
 
+    def table_view(self, spark, name: str) -> str:
+        """Temp-view name over a cached table (registered once per handle).
+        Lets the single-statement SQL query paths reference the SAME cached
+        DataFrames the Column-API paths scan — one `spark.sql` round-trip
+        instead of ~260 Py4J calls of incremental plan building (the
+        driver-side half of the single-query latency floor)."""
+        views = getattr(self, "_view_names", None)
+        if views is None:
+            views = {}
+            self._view_names = views
+        if name not in views:
+            vname = f"__themis_{name}_{abs(id(self))}"
+            self._cached(spark, name).createOrReplaceTempView(vname)
+            views[name] = vname
+        return views[name]
+
     def postings_view(self, spark) -> str:
-        """Temp-view name over the cached postings table (registered once
-        per handle). Lets the single-statement SQL query path reference the
-        SAME cached DataFrame the Column-API paths scan — one `spark.sql`
-        round-trip instead of ~260 Py4J calls of incremental plan building
-        (the driver-side half of the single-query latency floor)."""
-        name = getattr(self, "_postings_view_name", None)
-        if name is None:
-            name = f"__themis_postings_{abs(id(self))}"
-            self.postings(spark).createOrReplaceTempView(name)
-            self._postings_view_name = name
-        return name
+        return self.table_view(spark, "postings")
 
     def vocab_map(self, spark) -> dict[str, int] | None:
         """Whole-vocabulary driver map — the rebuild of the reference loading

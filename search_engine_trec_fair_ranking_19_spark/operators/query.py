@@ -146,20 +146,81 @@ def _bm25_topk_sql(
         f" + {_sql_double(b)} * dl / {_sql_double(pq.avgdl)}))"
     )
     contrib = f"{imap}[term] * ({f_expr} * {_sql_double(k1 + 1.0)} / ({f_expr} + {b_expr}))"
-    sql = f"""
-        WITH dec AS (
-          SELECT term, {_SQL_DECODE_NAME}(gaps, tfs, dls) AS d
-          FROM {view} WHERE term IN ({in_list})
-        ),
-        posting AS (
-          SELECT term, p.docid AS docid, d.d.tfs[p.i] AS tf, d.d.dls[p.i] AS dl
-          FROM dec d LATERAL VIEW posexplode(d.d.docids) p AS i, docid
-        )
+    sql = f"""{_posting_cte(view, in_list, with_dl=True)}
         SELECT docid, sum({contrib}) + {_sql_double(sum(pq.idfs))} AS raw
         FROM posting GROUP BY docid
         ORDER BY raw DESC, docid ASC LIMIT {int(k)}
     """
     return spark.sql(sql).collect()
+
+
+def _posting_cte(view: str, in_list: str, with_dl: bool) -> str:
+    """Shared decode CTE for the single-statement SQL query paths."""
+    dl = ", d.d.dls[p.i] AS dl" if with_dl else ""
+    return f"""
+        WITH dec AS (
+          SELECT term, {_SQL_DECODE_NAME}(gaps, tfs, dls) AS d
+          FROM {view} WHERE term IN ({in_list})
+        ),
+        posting AS (
+          SELECT term, p.docid AS docid, d.d.tfs[p.i] AS tf{dl}
+          FROM dec d LATERAL VIEW posexplode(d.d.docids) p AS i, docid
+        )"""
+
+
+def _vsm_topk_sql(
+    spark: SparkSession,
+    tables: IndexTables,
+    pq: PreparedQuery,
+    k: int,
+    q_weights: list[float],
+    q_norm: float,
+) -> list | None:
+    """Single-statement SQL twin of vsm_topk's posting ⋈ doc_stats scoring —
+    same rationale and same bit-exactness contract as :func:`_bm25_topk_sql`
+    (expression tree mirrors the Column plan operation-for-operation)."""
+    terms = [t for t, _ in pq.terms]
+    if not all(_SQL_SAFE_TERM.match(t) for t in terms):
+        return None
+    _ensure_sql_decode(spark)
+    pview = tables.postings_view(spark)
+    sview = tables.table_view(spark, "doc_stats")
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    wmap = "map(%s)" % ", ".join(
+        f"'{t}', {_sql_double(w)}" for t, w in pq.terms
+    )
+    imap = "map(%s)" % ", ".join(
+        f"'{t}', {_sql_double(i)}" for (t, _), i in zip(pq.terms, pq.idfs)
+    )
+    qwmap = "map(%s)" % ", ".join(
+        f"'{t}', {_sql_double(qw)}" for (t, _), qw in zip(pq.terms, q_weights)
+    )
+    contrib = (
+        f"{qwmap}[posting.term] * ((posting.tf * {wmap}[posting.term]"
+        f" / s.max_tf) * {imap}[posting.term])"
+    )
+    sql = f"""{_posting_cte(pview, in_list, with_dl=False)}
+        SELECT posting.docid AS docid,
+               sum({contrib}) / (first(s.vsm_weight) * {_sql_double(q_norm)}) AS raw
+        FROM posting JOIN {sview} s ON posting.docid = s.docid
+        GROUP BY posting.docid
+        ORDER BY raw DESC, docid ASC LIMIT {int(k)}
+    """
+    return spark.sql(sql).collect()
+
+
+def _normalized_rows_df(spark: SparkSession, rows: list) -> DataFrame:
+    """(docid, raw) top-k rows → max-normalized TOPK frame, exactly like
+    _finalize's bounded-k branch (reference forces max→1 when ≤ 0,
+    `OkapiBM25P.java:91-94` / `VSM.java:113-116`)."""
+    if not rows:
+        return _local_df(spark, [], TOPK_SCHEMA)
+    max_raw = rows[0]["raw"]
+    if max_raw <= 0.0:
+        max_raw = 1.0
+    return _local_df(
+        spark, [(r["docid"], r["raw"] / max_raw) for r in rows], TOPK_SCHEMA
+    )
 
 
 def _bm25_exhaustive(
@@ -176,18 +237,7 @@ def _bm25_exhaustive(
     if k is not None and pagerank_weight == 0.0:
         rows = _bm25_topk_sql(spark, tables, pq, config, k)
         if rows is not None:
-            if not rows:
-                return _local_df(spark, [], TOPK_SCHEMA)
-            max_raw = rows[0]["raw"]
-            if max_raw <= 0.0:
-                # the reference's running max starts at 0 and is forced to 1
-                # when nothing exceeds it (OkapiBM25P.java:91-94)
-                max_raw = 1.0
-            return _local_df(
-                spark,
-                [(r["docid"], r["raw"] / max_raw) for r in rows],
-                TOPK_SCHEMA,
-            )
+            return _normalized_rows_df(spark, rows)
     posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
     return _finalize(
         spark, tables, _bm25_raw(spark, posting, pq, config), k, pagerank_weight
@@ -968,6 +1018,11 @@ def vsm_topk(
         (w / max_q_freq) * idf for (_, w), idf in zip(pq.terms, pq.idfs)
     ]
     q_norm = math.sqrt(sum(w * w for w in q_weights))
+
+    if k is not None and pagerank_weight == 0.0:
+        rows = _vsm_topk_sql(spark, tables, pq, k, q_weights, q_norm)
+        if rows is not None:
+            return _normalized_rows_df(spark, rows)
 
     posting = matched_postings(spark, tables, [t for t, _ in pq.terms])
     weight, idf = _weight_idf_cols(pq)

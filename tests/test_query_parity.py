@@ -373,3 +373,40 @@ def test_bm25_batch_wand_actually_prunes(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in exp], f"qid {qid}"
         for (gd, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, abs=1e-9), f"qid {qid} doc {gd}"
+
+
+def test_sql_fast_path_matches_column_path(spark, tables, monkeypatch):
+    """The single-statement SQL fast paths (bm25 + vsm, bounded k, no blend)
+    must return BIT-identical (docid, score) lists to the Column-API plans
+    they replace — same literals via repr, same associativity, so not just
+    approx-equal: exactly equal."""
+    def run_both(fn, sql_name, query, k=25):
+        fast = [(r["docid"], r["score"]) for r in fn(spark, tables, query, k=k).collect()]
+        with monkeypatch.context() as m:
+            m.setattr(q, sql_name, lambda *a, **kw: None)  # force fallback
+            slow = [(r["docid"], r["score"]) for r in fn(spark, tables, query, k=k).collect()]
+        assert fast == slow, f"{fn.__name__} diverged on {query!r}"
+        return len(fast)
+
+    matched = 0
+    for query in QUERIES:
+        matched += run_both(q.bm25_topk, "_bm25_topk_sql", query)
+        matched += run_both(q.vsm_topk, "_vsm_topk_sql", query)
+    assert matched > 0  # the set must exercise non-empty results
+
+
+def test_sql_fast_path_used_for_bounded_k(spark, tables, monkeypatch):
+    """Routing contract: bounded k + no blend takes the SQL path; k=None and
+    blended queries fall back to the Column plan (normalization/blend live
+    there)."""
+    calls = []
+    real = q._bm25_topk_sql
+    with monkeypatch.context() as m:
+        m.setattr(q, "_bm25_topk_sql", lambda *a, **kw: calls.append(1) or real(*a, **kw))
+        q.bm25_topk(spark, tables, "web search", k=5).collect()
+        assert calls  # used
+        calls.clear()
+        q.bm25_topk(spark, tables, "web search", k=None).collect()
+        assert not calls  # k=None never routes through the SQL path
+        q.bm25_topk(spark, tables, "web search", k=5, pagerank_weight=0.25).collect()
+        assert not calls  # blend never routes through the SQL path
