@@ -437,6 +437,27 @@ def _finalize(
         raw_scores.unpersist()
 
 
+def _finalize_const_one(
+    spark: SparkSession, docs: DataFrame, k: int | None
+) -> DataFrame:
+    """_finalize for the set-model paths whose raw score is the CONSTANT
+    1.0 (existential / conjunctive): max-normalization is the identity
+    there (max of a constant-1 column is 1 when any row exists; the empty
+    result is empty either way), so the scalar max-agg job _finalize
+    would run per query is pure overhead — skip it. Ordering and schema
+    are identical to _finalize's k=None / bounded-k branches."""
+    out = docs.select("docid", F.lit(1.0).alias("score")).orderBy(
+        F.desc("score"), F.asc("docid")
+    )
+    if k is None:
+        return out
+    return _local_df(
+        spark,
+        [(r["docid"], r["score"]) for r in out.limit(k).collect()],
+        TOPK_SCHEMA,
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     tables: IndexTables,
@@ -1128,9 +1149,8 @@ def existential(
         matched_postings(spark, tables, [t for t, _ in pq.terms])
         .select("docid")
         .distinct()
-        .withColumn("raw", F.lit(1.0))
     )
-    return _finalize(spark, tables, docs.select("docid", "raw"), k, 0.0)
+    return _finalize_const_one(spark, docs, k)
 
 
 # rarest-term DF bound for conjunctive block pruning: a term occupies at
@@ -1238,9 +1258,9 @@ def conjunctive(
         posting.groupBy("docid")
         .agg(F.count(F.lit(1)).alias("nt"))
         .filter(F.col("nt") == len(terms))
-        .select("docid", F.lit(1.0).alias("raw"))
+        .select("docid")
     )
-    return _finalize(spark, tables, docs, k, 0.0)
+    return _finalize_const_one(spark, docs, k)
 
 
 def result_window(topk: DataFrame, start: int, end: int) -> DataFrame:
