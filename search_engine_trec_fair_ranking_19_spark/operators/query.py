@@ -85,14 +85,20 @@ def _decode_udf():
 
 
 _SQL_DECODE_NAME = "__themis_decode_blocks"
-_sql_decode_sessions: set[int] = set()
+_sql_decode_sessions: set[str] = set()
 
 
 def _ensure_sql_decode(spark: SparkSession) -> None:
-    """Register the block-decode pandas UDF for SQL use (once per session)."""
-    if id(spark) not in _sql_decode_sessions:
+    """Register the block-decode pandas UDF for SQL use (once per session).
+
+    Keyed by applicationId, NOT id(spark): the scaling tools create and
+    stop a session per bench arm, and CPython can reuse a freed object's
+    id — a stale hit would skip registration and break the SQL path with
+    an undefined-function error."""
+    key = spark.sparkContext.applicationId
+    if key not in _sql_decode_sessions:
         spark.udf.register(_SQL_DECODE_NAME, _decode_udf())
-        _sql_decode_sessions.add(id(spark))
+        _sql_decode_sessions.add(key)
 
 
 # terms eligible for inlining into a SQL string literal: anything except
